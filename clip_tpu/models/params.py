@@ -1,0 +1,133 @@
+"""Parameter pytrees loaded from GGUF checkpoints.
+
+Layout decisions (TPU-first, not a port of the reference's per-tensor pointer
+structs at /root/reference/clip.cpp:164-224):
+
+* per-layer weights are **stacked along a leading layer axis** so the towers
+  run as a single ``lax.scan`` — one compiled block regardless of depth;
+* quantized 2-D weights stay packed as :class:`QTensor` leaves (weight-only
+  quantization, activations in ``compute_dtype``), dequantized inside the
+  matmul;
+* biases / layernorm parameters are small and stay float32.
+
+GGUF name → functional name: note the historical swap where ``ffn_down``
+stores HF ``mlp.fc1`` (the *up* projection) and ``ffn_up`` stores ``mlp.fc2``
+(see clip_tpu.gguf.constants.TN_FFN_DOWN).  We name by function: ``up_*`` maps
+from ``ffn_down`` tensors, ``down_*`` from ``ffn_up``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf import GGMLType, GGUFReader
+from ..gguf import constants as C
+from ..ops.qtensor import QTensor, from_ggml_blocks
+from .config import ClipConfig
+
+LAYER_TENSORS = {
+    # param name -> (template, kind)   kind: "weight" | "bias"
+    "ln1_w": (C.TN_LN_1, "weight"),
+    "ln1_b": (C.TN_LN_1, "bias"),
+    "q_w": (C.TN_ATTN_Q, "weight"),
+    "q_b": (C.TN_ATTN_Q, "bias"),
+    "k_w": (C.TN_ATTN_K, "weight"),
+    "k_b": (C.TN_ATTN_K, "bias"),
+    "v_w": (C.TN_ATTN_V, "weight"),
+    "v_b": (C.TN_ATTN_V, "bias"),
+    "o_w": (C.TN_ATTN_OUTPUT, "weight"),
+    "o_b": (C.TN_ATTN_OUTPUT, "bias"),
+    "ln2_w": (C.TN_LN_2, "weight"),
+    "ln2_b": (C.TN_LN_2, "bias"),
+    "up_w": (C.TN_FFN_DOWN, "weight"),    # GGUF "ffn_down" == HF fc1 == up-proj
+    "up_b": (C.TN_FFN_DOWN, "bias"),
+    "down_w": (C.TN_FFN_UP, "weight"),    # GGUF "ffn_up" == HF fc2 == down-proj
+    "down_b": (C.TN_FFN_UP, "bias"),
+}
+
+_QUANT_TYPES = {GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q8_0}
+
+
+def _load_tensor(reader: GGUFReader, name: str, keep_quantized: bool, dtype) -> Any:
+    """Load one tensor: QTensor if block-quantized (and kept), else dense."""
+    info = reader.tensors.get(name)
+    if info is None:
+        raise KeyError(f"missing tensor {name!r} in {reader.path}")
+    if info.ggml_type in _QUANT_TYPES:
+        if keep_quantized:
+            return from_ggml_blocks(reader.tensor_data(name), info.shape, info.ggml_type)
+        return reader.tensor_as_float(name).astype(dtype)
+    arr = reader.tensor_as_float(name)
+    # biases / norms stay f32; weights take the compute dtype
+    if name.endswith(".bias") or ".ln" in name or "_ln" in name or name == C.TN_CLASS_EMBD:
+        return arr
+    return arr.astype(dtype)
+
+
+def _stack(leaves: list[Any]) -> Any:
+    if isinstance(leaves[0], QTensor):
+        q = np.stack([l.q for l in leaves])
+        d = np.stack([l.d for l in leaves])
+        m = None if leaves[0].m is None else np.stack([l.m for l in leaves])
+        return QTensor(q=q, d=d, m=m, qtype=leaves[0].qtype)
+    return np.stack(leaves)
+
+
+def _load_layers(reader, tower: str, n_layer: int, keep_quantized: bool, dtype):
+    per_name: dict[str, list[Any]] = {k: [] for k in LAYER_TENSORS}
+    for il in range(n_layer):
+        for pname, (tmpl, kind) in LAYER_TENSORS.items():
+            tname = tmpl.format(t=tower, i=il, w=kind)
+            per_name[pname].append(_load_tensor(reader, tname, keep_quantized, dtype))
+    return {k: _stack(v) for k, v in per_name.items()}
+
+
+def load_text_params(
+    reader: GGUFReader, cfg: ClipConfig, *, keep_quantized: bool = True, dtype=jnp.float32
+) -> dict:
+    t = "t"
+    return {
+        "tok_embd": _load_tensor(reader, C.TN_TOKEN_EMBD.format(t=t), keep_quantized, dtype),
+        "pos_embd": _load_tensor(reader, C.TN_POS_EMBD.format(t=t), keep_quantized, dtype),
+        "layers": _load_layers(reader, t, cfg.text.n_layer, keep_quantized, dtype),
+        "post_ln_w": _load_tensor(reader, C.TN_LN_POST.format(t=t, w="weight"), keep_quantized, dtype),
+        "post_ln_b": _load_tensor(reader, C.TN_LN_POST.format(t=t, w="bias"), keep_quantized, dtype),
+        "proj": _load_tensor(reader, C.TN_TEXT_PROJ, keep_quantized, dtype),
+    }
+
+
+def load_vision_params(
+    reader: GGUFReader, cfg: ClipConfig, *, keep_quantized: bool = True, dtype=jnp.float32
+) -> dict:
+    t = "v"
+    return {
+        "class_embd": _load_tensor(reader, C.TN_CLASS_EMBD, keep_quantized, dtype),
+        "patch_embd": _load_tensor(reader, C.TN_PATCH_EMBD, keep_quantized, dtype),
+        "pos_embd": _load_tensor(reader, C.TN_POS_EMBD.format(t=t), keep_quantized, dtype),
+        "pre_ln_w": _load_tensor(reader, C.TN_LN_PRE.format(t=t, w="weight"), keep_quantized, dtype),
+        "pre_ln_b": _load_tensor(reader, C.TN_LN_PRE.format(t=t, w="bias"), keep_quantized, dtype),
+        "layers": _load_layers(reader, t, cfg.vision.n_layer, keep_quantized, dtype),
+        "post_ln_w": _load_tensor(reader, C.TN_LN_POST.format(t=t, w="weight"), keep_quantized, dtype),
+        "post_ln_b": _load_tensor(reader, C.TN_LN_POST.format(t=t, w="bias"), keep_quantized, dtype),
+        "proj": _load_tensor(reader, C.TN_VIS_PROJ, keep_quantized, dtype),
+    }
+
+
+def load_params(
+    reader: GGUFReader,
+    cfg: ClipConfig | None = None,
+    *,
+    keep_quantized: bool = True,
+    dtype=jnp.float32,
+) -> dict:
+    """Load all towers present in the checkpoint into one pytree."""
+    cfg = cfg or ClipConfig.from_gguf(reader)
+    params: dict = {}
+    if cfg.has_text:
+        params["text"] = load_text_params(reader, cfg, keep_quantized=keep_quantized, dtype=dtype)
+    if cfg.has_vision:
+        params["vision"] = load_vision_params(reader, cfg, keep_quantized=keep_quantized, dtype=dtype)
+    return params

@@ -1,0 +1,70 @@
+"""CLIP text tower.
+
+Mirrors clip_text_encode's graph (/root/reference/clip.cpp:1016-1233): token +
+position embeddings, n_layer causal-masked blocks, final LN, EOT pooling (the
+*last* token index — the reference always pools position N-1, not the argmax
+of the EOS id), text projection, optional in-graph L2 normalization.
+
+TPU-first: inputs are padded to the fixed ``num_positions`` context so every
+batch shape compiles once; ``lengths`` carries each sequence's true length for
+EOT pooling.  Padding tokens sit *after* the pooled position and are causally
+masked, so they cannot affect the output (verified in tests).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops.nn import l2_normalize, layernorm
+from ..ops.linear import qmatmul
+from ..ops.qtensor import take_rows
+from .config import TextConfig
+from .transformer import run_blocks
+
+NEG_INF = -1e9  # large finite value: keeps bf16/f32 softmax NaN-free
+
+
+def causal_mask(seq_len: int) -> jnp.ndarray:
+    """[1, 1, S, S] additive mask (ggml_diag_mask_inf, clip.cpp:1101)."""
+    i = jnp.arange(seq_len)[:, None]
+    j = jnp.arange(seq_len)[None, :]
+    return jnp.where(j <= i, 0.0, NEG_INF)[None, None, :, :].astype(jnp.float32)
+
+
+def encode_text(
+    params: dict,
+    cfg: TextConfig,
+    token_ids: jnp.ndarray,     # [B, S] int32, padded
+    lengths: jnp.ndarray,       # [B] int32, true lengths (incl. BOS/EOS)
+    *,
+    use_gelu: bool,
+    normalize: bool = True,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    b, s = token_ids.shape
+
+    x = take_rows(params["tok_embd"], token_ids, dtype=compute_dtype)
+    pos = take_rows(params["pos_embd"], jnp.arange(s), dtype=compute_dtype)
+    x = x + pos[None, :, :]
+
+    x = run_blocks(
+        x,
+        params["layers"],
+        n_head=cfg.n_head,
+        eps=cfg.eps,
+        use_gelu=use_gelu,
+        mask=causal_mask(s),
+        compute_dtype=compute_dtype,
+    )
+
+    x = layernorm(x, params["post_ln_w"], params["post_ln_b"], cfg.eps)
+
+    # EOT pooling: last real token (clip.cpp:1154-1155)
+    pooled = jnp.take_along_axis(
+        x, (lengths - 1)[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0, :]
+
+    out = qmatmul(pooled, params["proj"], compute_dtype=compute_dtype)
+    if normalize:
+        out = l2_normalize(out)
+    return out

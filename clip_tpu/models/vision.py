@@ -1,0 +1,83 @@
+"""CLIP vision tower.
+
+Mirrors clip_image_batch_encode's graph (/root/reference/clip.cpp:1247-1523):
+conv patch embedding, class-token concat, learned position embeddings, pre-LN,
+n_layer unmasked blocks, CLS pooling (row 0), post-LN, visual projection,
+optional L2 normalization.
+
+TPU-first: the stride-p conv over non-overlapping patches is expressed as a
+reshape + one big matmul (im2col is free for stride == kernel), which lands
+directly on the MXU instead of going through a conv lowering; inputs are NHWC
+float32 straight from preprocessing (no NCHW repack — the reference's
+NHWC→NCHW loop at clip.cpp:1285-1307 exists only because ggml's conv wants
+NCHW).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops.nn import l2_normalize, layernorm
+from ..ops.linear import qmatmul
+from ..ops.qtensor import QTensor, dequant, take_rows
+from .config import VisionConfig
+from .transformer import run_blocks
+
+
+def patchify(pixels: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """NHWC [B, S, S, 3] -> [B, N_patches, 3*p*p] in (c, ky, kx) order,
+    matching the conv kernel layout [hidden, 3, p, p]."""
+    b, h, w, c = pixels.shape
+    gh, gw = h // patch, w // patch
+    x = pixels.reshape(b, gh, patch, gw, patch, c)
+    # -> [B, gh, gw, c, p1, p2]
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(b, gh * gw, c * patch * patch)
+
+
+def encode_image(
+    params: dict,
+    cfg: VisionConfig,
+    pixels: jnp.ndarray,        # [B, S, S, 3] float32 NHWC, normalized
+    *,
+    use_gelu: bool,
+    normalize: bool = True,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    b = pixels.shape[0]
+    p = cfg.patch_size
+    hdim = cfg.hidden_size
+
+    w_patch = params["patch_embd"]  # [hidden, 3, p, p], f16 in checkpoints
+    if isinstance(w_patch, QTensor):  # quantizers only touch 2-D, but be safe
+        w_patch = dequant(w_patch, dtype=compute_dtype)
+    w_flat = w_patch.reshape(hdim, 3 * p * p)
+
+    x = patchify(pixels.astype(compute_dtype), p)
+    x = qmatmul(x, w_flat, compute_dtype=compute_dtype)  # [B, N, hidden]
+
+    cls = params["class_embd"].astype(compute_dtype)
+    cls = jnp.broadcast_to(cls[None, None, :], (b, 1, hdim))
+    x = jnp.concatenate([cls, x], axis=1)  # [B, N+1, hidden]
+
+    pos = take_rows(params["pos_embd"], jnp.arange(cfg.num_positions), dtype=compute_dtype)
+    x = x + pos[None, :, :]
+
+    x = layernorm(x, params["pre_ln_w"], params["pre_ln_b"], cfg.eps)
+
+    x = run_blocks(
+        x,
+        params["layers"],
+        n_head=cfg.n_head,
+        eps=cfg.eps,
+        use_gelu=use_gelu,
+        mask=None,
+        compute_dtype=compute_dtype,
+    )
+
+    pooled = x[:, 0, :]  # CLS (clip.cpp:1426-1430)
+    pooled = layernorm(pooled, params["post_ln_w"], params["post_ln_b"], cfg.eps)
+    out = qmatmul(pooled, params["proj"], compute_dtype=compute_dtype)
+    if normalize:
+        out = l2_normalize(out)
+    return out

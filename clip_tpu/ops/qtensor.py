@@ -1,0 +1,154 @@
+"""Device-resident block-quantized tensors.
+
+A :class:`QTensor` keeps weight-only quantized parameters packed in HBM in a
+TPU-friendly layout and dequantizes on demand — either via XLA ops (oracle /
+fallback) or inside a fused Pallas matmul kernel (see ``qmatmul.py``).
+
+Device layouts (all blocks are 32 elements along the last / contraction axis,
+matching the GGUF on-disk blocking):
+
+* q4_0 / q4_1 — ``q``: uint8 ``[..., K/2]``; byte ``j`` packs element ``2j``
+  in its low nibble and ``2j+1`` in its high nibble (sequential order — we
+  repack from ggml's j/j+16 interleave at load time so in-kernel unpacking
+  needs no lane shuffles).
+* q5_0 / q5_1 — ``q``: uint8 ``[..., K]`` codes in [0, 31] (5-bit codes don't
+  pack into nibbles; byte-aligned storage keeps loads trivial).
+* q8_0 — ``q``: int8 ``[..., K]``.
+
+``d`` (scale) and ``m`` (min, only q4_1/q5_1) are float32 ``[..., K/32]``;
+they are fp16 values upcast exactly, so dequantization is bit-identical to the
+numpy oracle in ``clip_tpu.quant.formats``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.constants import QK, GGMLType
+from ..quant import block_fields
+
+__all__ = ["QTensor", "from_ggml_blocks", "dequant", "take_rows"]
+
+_ZERO_POINT = {
+    GGMLType.Q4_0: 8,
+    GGMLType.Q4_1: 0,
+    GGMLType.Q5_0: 16,
+    GGMLType.Q5_1: 0,
+    GGMLType.Q8_0: 0,
+}
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QTensor:
+    """Block-quantized tensor; logical shape is ``d.shape[:-1] + (K,)``."""
+
+    q: Any                 # packed codes, see module docstring
+    d: Any                 # float32 scales [..., K/32]
+    m: Any                 # float32 mins [..., K/32] or None
+    qtype: GGMLType        # static
+
+    def tree_flatten(self):
+        return (self.q, self.d, self.m), self.qtype
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        q, d, m = children
+        return cls(q=q, d=d, m=m, qtype=aux)
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        lead = tuple(self.d.shape[:-1])
+        return lead + (self.d.shape[-1] * QK,)
+
+    @property
+    def is_packed4(self) -> bool:
+        return self.qtype in (GGMLType.Q4_0, GGMLType.Q4_1)
+
+    @property
+    def zero_point(self) -> int:
+        return _ZERO_POINT[self.qtype]
+
+    @property
+    def nbytes(self) -> int:
+        n = self.q.size * self.q.dtype.itemsize + self.d.size * self.d.dtype.itemsize
+        if self.m is not None:
+            n += self.m.size * self.m.dtype.itemsize
+        return n
+
+
+def from_ggml_blocks(
+    packed: np.ndarray, shape: tuple[int, ...], qtype: GGMLType
+) -> QTensor:
+    """Convert a GGUF packed block buffer (host numpy) to device layout.
+
+    ``shape`` is the logical row-major shape; its last axis is the blocked
+    (contraction) axis and must be a multiple of 32.
+    """
+    qtype = GGMLType(qtype)
+    f = block_fields(packed, qtype)
+    k = shape[-1]
+    if k % QK:
+        raise ValueError(f"last axis {k} not a multiple of {QK}")
+    lead = shape[:-1]
+    nb_per_row = k // QK
+
+    codes = f.q.reshape(*lead, k)  # element order
+    if qtype in (GGMLType.Q4_0, GGMLType.Q4_1):
+        pairs = codes.reshape(*lead, k // 2, 2).astype(np.uint8)
+        q = (pairs[..., 0] | (pairs[..., 1] << 4)).astype(np.uint8)
+    elif qtype in (GGMLType.Q5_0, GGMLType.Q5_1):
+        q = codes.astype(np.uint8)
+    else:
+        q = codes.astype(np.int8)
+
+    d = f.d.astype(np.float32).reshape(*lead, nb_per_row)
+    m = None
+    if f.m is not None:
+        m = f.m.astype(np.float32).reshape(*lead, nb_per_row)
+    return QTensor(q=q, d=d, m=m, qtype=qtype)
+
+
+def unpack_codes(qt: QTensor) -> jnp.ndarray:
+    """Return integer codes in element order, shape ``[..., K]`` (XLA ops)."""
+    q = qt.q
+    if qt.is_packed4:
+        lo = q & np.uint8(0x0F)
+        hi = q >> np.uint8(4)
+        q = jnp.stack([lo, hi], axis=-1).reshape(*q.shape[:-1], q.shape[-1] * 2)
+    return q
+
+
+def take_rows(qt_or_arr, ids, dtype=jnp.float32) -> jnp.ndarray:
+    """Embedding gather: select rows by id, dequantizing only the gathered
+    rows when the table is quantized (replaces ggml_get_rows on a possibly
+    quantized token-embedding table, /root/reference/clip.cpp:1059)."""
+    if not isinstance(qt_or_arr, QTensor):
+        return jnp.take(qt_or_arr, ids, axis=0).astype(dtype)
+    qt = qt_or_arr
+    sub = QTensor(
+        q=jnp.take(qt.q, ids, axis=0),
+        d=jnp.take(qt.d, ids, axis=0),
+        m=None if qt.m is None else jnp.take(qt.m, ids, axis=0),
+        qtype=qt.qtype,
+    )
+    return dequant(sub, dtype=dtype)
+
+
+def dequant(qt: QTensor, dtype=jnp.float32) -> jnp.ndarray:
+    """Dequantize to a dense array (XLA path; numerically identical to the
+    numpy oracle when ``dtype`` is float32)."""
+    codes = unpack_codes(qt).astype(jnp.float32)
+    if qt.zero_point:
+        codes = codes - float(qt.zero_point)
+    k = codes.shape[-1]
+    blocks = codes.reshape(*codes.shape[:-1], k // QK, QK)
+    w = blocks * qt.d[..., None]
+    if qt.m is not None:
+        w = w + qt.m[..., None]
+    return w.reshape(*codes.shape[:-1], k).astype(dtype)
