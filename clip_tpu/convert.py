@@ -196,6 +196,10 @@ def convert_hf_clip(
     )
     vcfg = config.vision_config.to_dict()
     tcfg = config.text_config.to_dict()
+    # the projection weights come from the top-level CLIPConfig; tower-config
+    # defaults (e.g. CLIPVisionConfig's 512) don't describe the weights
+    vcfg["projection_dim"] = config.projection_dim
+    tcfg["projection_dim"] = config.projection_dim
     use_gelu = vcfg.get("hidden_act", "quick_gelu") == "gelu"
     return write_clip_gguf(
         out_path,

@@ -1,0 +1,287 @@
+"""ClipEngine: the user-facing inference engine.
+
+Covers the reference's public C ABI (/root/reference/clip.h:42-109) — load,
+hparams, tokenize, image load/preprocess, text/image/batch encode, compare,
+similarity, softmax-with-sorting, zero-shot labeling — as one Python class.
+The reference's ctypes binding layer (examples/python_bindings) is therefore
+unnecessary: the engine *is* Python/JAX.
+
+TPU-first mechanics:
+
+* every tower is jitted once per (batch-bucket, normalize) pair; batches are
+  padded up to power-of-two buckets so arbitrary request sizes never trigger
+  recompiles;
+* text is always padded to the model's full context (77) with post-EOT
+  padding hidden by the causal mask — one compiled shape for all lengths;
+* unlike the reference, the engine is stateless across calls and safe to use
+  from multiple threads (the reference's static scratch buffers make a
+  clip_ctx non-reentrant, /root/reference/clip.cpp:1048-1049);
+* with a multi-device mesh, weights are tensor-sharded and batches are
+  data-sharded at ingestion (see clip_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .gguf import GGUFReader
+from .gguf import constants as C
+from .models.config import ClipConfig
+from .models.params import load_params
+from .models.text import encode_text
+from .models.vision import encode_image
+from .parallel import mesh as pmesh
+from .preprocess import load_image, preprocess_batch
+from .tokenizer import ClipTokenizer
+from .utils import log
+
+_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+
+
+def _bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return ((n + _BUCKETS[-1] - 1) // _BUCKETS[-1]) * _BUCKETS[-1]
+
+
+def softmax_with_sorting(scores: Sequence[float]) -> tuple[np.ndarray, np.ndarray]:
+    """Softmax (with the reference's +1e-9 regularizer,
+    /root/reference/clip.cpp:1591-1622) then sort descending.
+    Returns (sorted_probs, original_indices)."""
+    arr = np.asarray(scores, dtype=np.float64)
+    e = np.exp(arr) + 1e-9
+    probs = e / e.sum()
+    order = np.argsort(-probs, kind="stable")
+    return probs[order].astype(np.float32), order.astype(np.int32)
+
+
+def similarity_score(v1: np.ndarray, v2: np.ndarray) -> float:
+    """Plain dot product (/root/reference/clip.cpp:1525-1532)."""
+    return float(np.dot(np.asarray(v1, np.float32), np.asarray(v2, np.float32)))
+
+
+class ClipEngine:
+    """Load a GGUF CLIP checkpoint and serve text/image embeddings."""
+
+    def __init__(
+        self,
+        model_path: str,
+        *,
+        compute_dtype: str | None = None,
+        keep_quantized: bool = True,
+        mesh: "jax.sharding.Mesh | None" = None,
+        use_mesh: bool = False,
+        verbosity: int = 1,
+    ):
+        self.model_path = str(model_path)
+        self.verbosity = verbosity
+        self.reader = GGUFReader(self.model_path)
+        self.config = ClipConfig.from_gguf(self.reader)
+
+        if compute_dtype is None:
+            compute_dtype = "float32" if jax.default_backend() == "cpu" else "bfloat16"
+        self.compute_dtype = jnp.dtype(compute_dtype)
+
+        ft = C.FTYPE_TO_NAME.get(self.config.ftype, "?")
+        log(verbosity, 1, "model: %s (%s)", self.config.name or self.model_path, ft)
+        log(verbosity, 1, "description: %s", self.config.description)
+        log(verbosity, 1, "text_encoder: %d  vision_encoder: %d  use_gelu: %d",
+            self.config.has_text, self.config.has_vision, self.config.use_gelu)
+        if verbosity >= 2:
+            for tower, cfg in (("text", self.config.text), ("vision", self.config.vision)):
+                if cfg is not None:
+                    log(verbosity, 2, "%s hparams: %s", tower, cfg)
+
+        params = load_params(
+            self.reader, self.config, keep_quantized=keep_quantized,
+            dtype=self.compute_dtype,
+        )
+
+        self.mesh = mesh
+        if mesh is None and use_mesh and len(jax.devices()) > 1:
+            self.mesh = pmesh.make_mesh()
+        if self.mesh is not None:
+            params = pmesh.shard_params(params, self.mesh)
+        else:
+            params = jax.device_put(params)
+        self.params = params
+
+        self.tokenizer: ClipTokenizer | None = None
+        if self.config.has_text:
+            tokens = self.reader.kv[C.KEY_TOKENS]
+            # the reference hardcodes BOS/EOS 49406/49407 (clip.cpp:637,671)
+            # == n_vocab-2 / n_vocab-1 for the CLIP vocab; derive from size so
+            # reduced-vocab checkpoints stay in range
+            n = len(tokens)
+            self.tokenizer = ClipTokenizer(
+                tokens, bos_id=min(49406, n - 2), eos_id=min(49407, n - 1)
+            )
+
+        self._jit_cache: dict = {}
+
+    # -- hparams (clip_get_text_hparams / clip_get_vision_hparams) ----------
+
+    @property
+    def text_hparams(self):
+        return self.config.text
+
+    @property
+    def vision_hparams(self):
+        return self.config.vision
+
+    @property
+    def projection_dim(self) -> int:
+        cfg = self.config.vision or self.config.text
+        return cfg.projection_dim
+
+    @property
+    def image_size(self) -> int:
+        return self.config.vision.image_size
+
+    # -- tokenize / preprocess ----------------------------------------------
+
+    def tokenize(self, text: str) -> list[int]:
+        if self.tokenizer is None:
+            raise RuntimeError("this checkpoint has no text encoder")
+        return self.tokenizer.encode(text, max_len=self.config.text.num_positions)
+
+    def load_image(self, path: str) -> np.ndarray:
+        return load_image(path)
+
+    def preprocess(self, images, n_workers: int = 4) -> np.ndarray:
+        """uint8 RGB image(s) -> normalized float32 NHWC batch."""
+        if self.config.vision is None:
+            raise RuntimeError("this checkpoint has no vision encoder")
+        if isinstance(images, np.ndarray) and images.ndim == 3:
+            images = [images]
+        return preprocess_batch(
+            list(images),
+            self.config.vision.image_size,
+            np.asarray(self.config.image_mean),
+            np.asarray(self.config.image_std),
+            n_workers=n_workers,
+        )
+
+    # -- jitted tower entry points -------------------------------------------
+
+    def _text_fn(self, normalize: bool):
+        key = ("text", normalize)
+        if key not in self._jit_cache:
+            cfg = self.config
+
+            @functools.partial(jax.jit, static_argnames=())
+            def fn(params, ids, lengths):
+                return encode_text(
+                    params, cfg.text, ids, lengths,
+                    use_gelu=cfg.use_gelu, normalize=normalize,
+                    compute_dtype=self.compute_dtype,
+                )
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    def _vision_fn(self, normalize: bool):
+        key = ("vision", normalize)
+        if key not in self._jit_cache:
+            cfg = self.config
+
+            @functools.partial(jax.jit, static_argnames=())
+            def fn(params, pixels):
+                return encode_image(
+                    params, cfg.vision, pixels,
+                    use_gelu=cfg.use_gelu, normalize=normalize,
+                    compute_dtype=self.compute_dtype,
+                )
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    # -- encoding -------------------------------------------------------------
+
+    def encode_text(self, texts, *, normalize: bool = True) -> np.ndarray:
+        """Encode one string / token list or a batch of them.
+
+        Returns [D] for a single input, [B, D] for a batch.
+        """
+        single = isinstance(texts, str) or (
+            isinstance(texts, (list, tuple)) and texts and isinstance(texts[0], int)
+        )
+        if single:
+            texts = [texts]
+        n_pos = self.config.text.num_positions
+        ids_list = [
+            self.tokenize(t) if isinstance(t, str) else list(t) for t in texts
+        ]
+        b = len(ids_list)
+        bb = _bucket(b)
+        ids = np.full((bb, n_pos), self.tokenizer.eos_id, np.int32)
+        lengths = np.ones(bb, np.int32)
+        for i, t in enumerate(ids_list):
+            padded, n = self.tokenizer.pad(t, n_pos)
+            ids[i] = padded
+            lengths[i] = n
+        ids_d, len_d = self._put_batch(ids), self._put_batch(lengths)
+        out = self._text_fn(normalize)(self.params["text"], ids_d, len_d)
+        out = np.asarray(out[:b], dtype=np.float32)
+        return out[0] if single else out
+
+    def encode_image(self, images, *, normalize: bool = True, preprocessed: bool | None = None) -> np.ndarray:
+        """Encode image(s): file path(s), uint8 arrays, or preprocessed float
+        NHWC batches.  Returns [D] or [B, D]."""
+        single = isinstance(images, (str, np.ndarray)) and (
+            isinstance(images, str) or images.ndim == 3
+        )
+        if single:
+            images = [images]
+        if isinstance(images, np.ndarray) and images.ndim == 4 and images.dtype != np.uint8:
+            pixels = np.asarray(images, np.float32)
+        else:
+            arrs = [self.load_image(im) if isinstance(im, str) else im for im in images]
+            if preprocessed or (arrs and arrs[0].dtype != np.uint8):
+                pixels = np.stack([np.asarray(a, np.float32) for a in arrs])
+            else:
+                pixels = self.preprocess(arrs)
+        b = pixels.shape[0]
+        bb = _bucket(b)
+        if bb != b:
+            pad = np.repeat(pixels[-1:], bb - b, axis=0)
+            pixels = np.concatenate([pixels, pad], axis=0)
+        out = self._vision_fn(normalize)(self.params["vision"], self._put_batch(pixels))
+        out = np.asarray(out[:b], dtype=np.float32)
+        return out[0] if single else out
+
+    def _put_batch(self, x: np.ndarray):
+        if self.mesh is not None:
+            return pmesh.shard_batch(jnp.asarray(x), self.mesh)
+        return jnp.asarray(x)
+
+    # -- high-level utilities (clip.h parity) ---------------------------------
+
+    def compare_text_and_image(self, text: str, image) -> float:
+        """End-to-end similarity with normalized embeddings
+        (/root/reference/clip.cpp:1534-1571)."""
+        tvec = self.encode_text(text, normalize=True)
+        ivec = self.encode_image(image, normalize=True)
+        return similarity_score(tvec, ivec)
+
+    def zero_shot_label_image(
+        self, image, labels: Sequence[str]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """HF-pipeline-parity zero-shot labeling: *unnormalized* embeddings,
+        softmax over raw dot products (/root/reference/clip.cpp:1624-1659).
+        Returns (sorted_scores, indices into labels)."""
+        if len(labels) < 2:
+            raise ValueError("zero-shot labeling needs at least 2 labels")
+        ivec = self.encode_image(image, normalize=False)
+        tvecs = self.encode_text(list(labels), normalize=False)
+        sims = tvecs @ ivec
+        return softmax_with_sorting(sims)
+
+    def close(self) -> None:
+        self.reader.close()

@@ -129,12 +129,12 @@ def take_rows(qt_or_arr, ids, dtype=jnp.float32) -> jnp.ndarray:
     rows when the table is quantized (replaces ggml_get_rows on a possibly
     quantized token-embedding table, /root/reference/clip.cpp:1059)."""
     if not isinstance(qt_or_arr, QTensor):
-        return jnp.take(qt_or_arr, ids, axis=0).astype(dtype)
+        return jnp.take(qt_or_arr, ids, axis=0, mode="clip").astype(dtype)
     qt = qt_or_arr
     sub = QTensor(
-        q=jnp.take(qt.q, ids, axis=0),
-        d=jnp.take(qt.d, ids, axis=0),
-        m=None if qt.m is None else jnp.take(qt.m, ids, axis=0),
+        q=jnp.take(qt.q, ids, axis=0, mode="clip"),
+        d=jnp.take(qt.d, ids, axis=0, mode="clip"),
+        m=None if qt.m is None else jnp.take(qt.m, ids, axis=0, mode="clip"),
         qtype=qt.qtype,
     )
     return dequant(sub, dtype=dtype)

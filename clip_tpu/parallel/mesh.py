@@ -1,0 +1,112 @@
+"""Device mesh + sharding rules for multi-chip / multi-host inference.
+
+The reference is single-process CPU; its only parallelism is a pthread pool
+(SURVEY.md §2.2).  Here scaling is first-class: a 2-D ``(data, model)``
+:class:`jax.sharding.Mesh` over ICI/DCN, with
+
+* **data parallelism** — the encode batch is sharded over ``data``;
+* **tensor parallelism** — attention QKV / MLP-up weights are sharded over
+  output features ("column parallel"), attention-out / MLP-down weights over
+  input features ("row parallel"), so XLA SPMD inserts one reduce-scatter /
+  all-gather pair per block and overlaps it with compute.
+
+Quantized weights shard cleanly because the 32-element quantization blocks
+live along the contraction (K) axis: a K-shard of ``K/n_model`` elements is a
+whole number of blocks whenever ``K % (32 * n_model) == 0`` (checked at
+sharding time), and the packed-nibble (K/2) and scale (K/32) arrays divide by
+the same factor.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.qtensor import QTensor
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: int | None = None,
+    n_model: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a ``(data, model)`` mesh.  Defaults to all visible devices on the
+    data axis (pure DP) — the right default for CLIP-scale models, where a
+    single chip fits even ViT-H comfortably."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    if n_data * n_model != len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_model} != {len(devices)} devices"
+        )
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+# Column-parallel (shard output features) / row-parallel (shard contraction).
+_COL_PARALLEL = {"q_w", "k_w", "v_w", "up_w"}
+_ROW_PARALLEL = {"o_w", "down_w"}
+_COL_BIAS = {"q_b", "k_b", "v_b", "up_b"}
+
+
+def _leaf_spec(path: tuple[str, ...], leaf: Any, n_model: int) -> P:
+    """PartitionSpec for a parameter leaf, keyed by its pytree path."""
+    name = path[-1]
+    in_layers = "layers" in path
+    if n_model > 1 and in_layers:
+        if name in _COL_PARALLEL:
+            return P(None, MODEL_AXIS, None)       # [L, N, K*] shard N
+        if name in _ROW_PARALLEL:
+            return P(None, None, MODEL_AXIS)       # [L, N, K*] shard K
+        if name in _COL_BIAS:
+            return P(None, MODEL_AXIS)             # [L, N]
+    return P()  # replicate embeddings, norms, projections, biases
+
+
+def param_specs(params: Any, n_model: int) -> Any:
+    """PartitionSpec pytree matching ``params`` (QTensor-aware: children of a
+    QTensor share the parent's spec since N/K axes align across q/d/m)."""
+
+    def walk(node: Any, path: tuple[str, ...]) -> Any:
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        if isinstance(node, QTensor):
+            spec = _leaf_spec(path, node, n_model)
+            mspec = None if node.m is None else spec
+            return QTensor(q=spec, d=spec, m=mspec, qtype=node.qtype)
+        return _leaf_spec(path, node, n_model)
+
+    return walk(params, ())
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """device_put the parameter pytree with TP/replication shardings."""
+    n_model = mesh.shape[MODEL_AXIS]
+    specs = param_specs(params, n_model)
+    return _shard_tree(params, specs, mesh)
+
+
+def _shard_tree(params, specs, mesh):
+    if isinstance(params, dict):
+        return {k: _shard_tree(params[k], specs[k], mesh) for k in params}
+    if isinstance(params, QTensor):
+        return QTensor(
+            q=jax.device_put(params.q, NamedSharding(mesh, specs.q)),
+            d=jax.device_put(params.d, NamedSharding(mesh, specs.d)),
+            m=None if params.m is None else jax.device_put(params.m, NamedSharding(mesh, specs.m)),
+            qtype=params.qtype,
+        )
+    return jax.device_put(params, NamedSharding(mesh, specs))
+
+
+def shard_batch(x, mesh: Mesh):
+    """Shard a host array's leading (batch) axis over the data axis."""
+    spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
