@@ -126,8 +126,13 @@ def write_clip_gguf(
     image_std: Sequence[float] = (0.26862954, 0.26130258, 0.27577711),
     name: str = "",
     ftype: int = 1,
+    extra_quantized: Mapping[str, tuple] | None = None,
 ) -> str:
-    """Assemble and write a clip.cpp-compatible GGUF checkpoint."""
+    """Assemble and write a clip.cpp-compatible GGUF checkpoint.
+
+    ``extra_quantized`` maps tensor name -> (shape, GGMLType, packed blocks)
+    for pre-quantized payloads (used by the synthetic-checkpoint factory).
+    """
     w = GGUFWriter(path)
     has_text = text_config is not None
     has_vision = vision_config is not None
@@ -174,6 +179,8 @@ def write_clip_gguf(
 
     for tname, data in tensors.items():
         w.add_tensor(tname, data)
+    for tname, (shape, qtype, packed) in (extra_quantized or {}).items():
+        w.add_quantized_tensor(tname, shape, qtype, packed)
     return w.write()
 
 

@@ -93,17 +93,40 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     return _shard_tree(params, specs, mesh)
 
 
+def _divisible(arr, spec: P, mesh: Mesh) -> bool:
+    for dim, axis in zip(arr.shape, spec):
+        if axis is not None and dim % mesh.shape[axis] != 0:
+            return False
+    return True
+
+
+def _put(arr, spec: P, mesh: Mesh):
+    """device_put with a replication fallback when a dimension doesn't divide
+    the mesh axis (e.g. tiny test models, or K/32 scale columns narrower than
+    the model axis)."""
+    if arr is None:
+        return None
+    if not _divisible(arr, spec, mesh):
+        spec = P()
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
 def _shard_tree(params, specs, mesh):
     if isinstance(params, dict):
         return {k: _shard_tree(params[k], specs[k], mesh) for k in params}
     if isinstance(params, QTensor):
+        # all-or-nothing: q/d/m must shard consistently or dequant misaligns
+        ok = _divisible(params.q, specs.q, mesh) and _divisible(params.d, specs.d, mesh)
+        if params.m is not None:
+            ok = ok and _divisible(params.m, specs.m, mesh)
+        qs, ds, ms = (specs.q, specs.d, specs.m) if ok else (P(), P(), P())
         return QTensor(
-            q=jax.device_put(params.q, NamedSharding(mesh, specs.q)),
-            d=jax.device_put(params.d, NamedSharding(mesh, specs.d)),
-            m=None if params.m is None else jax.device_put(params.m, NamedSharding(mesh, specs.m)),
+            q=_put(params.q, qs, mesh),
+            d=_put(params.d, ds, mesh),
+            m=None if params.m is None else _put(params.m, ms, mesh),
             qtype=params.qtype,
         )
-    return jax.device_put(params, NamedSharding(mesh, specs))
+    return _put(params, specs, mesh)
 
 
 def shard_batch(x, mesh: Mesh):
