@@ -1,0 +1,118 @@
+"""Headline benchmark: q4_0 ViT-B/32 vision-encode throughput per chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Protocol
+--------
+* synthetic q4_0 ViT-B/32 vision-only GGUF (random weights — zero-egress env;
+  identical shapes/compute to the real checkpoint),
+* quantized weights resident in HBM, bf16 compute, batch 256,
+* steady-state: 2 warmup rounds then median of 5 timed rounds of 10 encodes;
+  each round ends with a host readback of a scalar reduction (the axon relay's
+  block_until_ready is unreliable for full sync, so readback is the barrier).
+
+Baseline
+--------
+BASELINE.json publishes no reference numbers and the reference cannot be
+built here (its ggml submodule isn't checked out).  We anchor against
+20 images/s — a *generous* estimate for clip.cpp's q4_0 ViT-B/32 batch-4
+encode on a 4-thread desktop CPU (community reports put it at 40-100 ms per
+image, i.e. 10-25 img/s).  ``vs_baseline`` is therefore a lower bound on the
+true speedup multiple.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import statistics
+import sys
+import time
+
+BASELINE_IMAGES_PER_SEC = 20.0
+BATCH = 256
+ITERS_PER_ROUND = 10
+ROUNDS = 5
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clip_tpu.gguf import GGUFReader
+    from clip_tpu.models.config import ClipConfig
+    from clip_tpu.models.params import load_params
+    from clip_tpu.models.vision import encode_image
+    from clip_tpu.synth import make_synthetic_gguf
+
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "bench_vit-b-32_q4_0_vision.gguf")
+    if not os.path.exists(path):
+        log("generating synthetic q4_0 ViT-B/32 vision checkpoint ...")
+        make_synthetic_gguf(path, "ViT-B/32", ftype="q4_0", towers="vision")
+
+    reader = GGUFReader(path)
+    cfg = ClipConfig.from_gguf(reader)
+    params = jax.device_put(
+        load_params(reader, cfg, keep_quantized=True, dtype=jnp.bfloat16)["vision"]
+    )
+
+    fn = jax.jit(
+        functools.partial(
+            encode_image,
+            cfg=cfg.vision,
+            use_gelu=cfg.use_gelu,
+            normalize=True,
+            compute_dtype=jnp.bfloat16,
+        )
+    )
+
+    pixels = jax.device_put(
+        np.random.default_rng(0).normal(size=(BATCH, 224, 224, 3)).astype(np.float32)
+    )
+
+    def round_time() -> float:
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(ITERS_PER_ROUND):
+            out = fn(params, pixels=pixels)
+        float(jnp.sum(out))  # host readback = hard sync
+        return (time.perf_counter() - t0) / ITERS_PER_ROUND
+
+    log("compiling ...")
+    t0 = time.perf_counter()
+    float(jnp.sum(fn(params, pixels=pixels)))
+    log(f"compile+first-run: {time.perf_counter() - t0:.1f}s")
+
+    for _ in range(2):
+        round_time()  # warmup
+    times = [round_time() for _ in range(ROUNDS)]
+    dt = statistics.median(times)
+    ips = BATCH / dt
+    log(f"rounds (ms/iter): {[f'{t*1e3:.1f}' for t in times]}")
+    log(f"median: {dt*1e3:.2f} ms / batch of {BATCH} -> {ips:.0f} images/s/chip")
+
+    print(
+        json.dumps(
+            {
+                "metric": "q4_0 ViT-B/32 vision encode throughput",
+                "value": round(ips, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
