@@ -1,0 +1,113 @@
+"""``serve``: HTTP embedding server with continuous batching.
+
+Endpoints (JSON):
+  POST /v1/embed/text   {"texts": ["...", ...], "normalize": true}
+  POST /v1/embed/image  {"images_b64": ["<base64 file bytes>", ...], "normalize": true}
+  POST /v1/zsl          {"image_b64": "...", "labels": ["...", ...]}
+  GET  /healthz, GET /stats
+
+Concurrent requests from many clients are merged into device batches by
+clip_tpu.serving.ContinuousBatcher, keeping the chip saturated.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import sys
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..engine import ClipEngine, softmax_with_sorting
+from ..serving import ContinuousBatcher
+from .common import base_parser
+
+
+def _decode_image(b64: str) -> np.ndarray:
+    from PIL import Image
+
+    raw = base64.b64decode(b64)
+    with Image.open(io.BytesIO(raw)) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+def make_handler(engine: ClipEngine, batcher: ContinuousBatcher):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok", "model": engine.config.name})
+            elif self.path == "/stats":
+                self._send(200, batcher.stats)
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/v1/embed/text":
+                    norm = bool(req.get("normalize", True))
+                    futs = [batcher.submit_text(t, norm) for t in req["texts"]]
+                    vecs = [f.result(120).tolist() for f in futs]
+                    self._send(200, {"embeddings": vecs})
+                elif self.path == "/v1/embed/image":
+                    norm = bool(req.get("normalize", True))
+                    imgs = [_decode_image(b) for b in req["images_b64"]]
+                    futs = [batcher.submit_image(im, norm) for im in imgs]
+                    vecs = [f.result(120).tolist() for f in futs]
+                    self._send(200, {"embeddings": vecs})
+                elif self.path == "/v1/zsl":
+                    img = _decode_image(req["image_b64"])
+                    labels = req["labels"]
+                    ivec = batcher.submit_image(img, False).result(120)
+                    tfuts = [batcher.submit_text(t, False) for t in labels]
+                    tvecs = np.stack([f.result(120) for f in tfuts])
+                    scores, idx = softmax_with_sorting(tvecs @ ivec)
+                    self._send(200, {
+                        "labels": [labels[int(i)] for i in idx],
+                        "scores": [float(s) for s in scores],
+                    })
+                else:
+                    self._send(404, {"error": "not found"})
+            except Exception as e:
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def main(argv=None) -> int:
+    p = base_parser("clip-tpu-serve", __doc__, needs_text=False, needs_image=False)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8090)
+    p.add_argument("--max-batch", type=int, default=64)
+    p.add_argument("--max-wait-ms", type=float, default=5.0)
+    args = p.parse_args(argv)
+
+    engine = ClipEngine(args.model, verbosity=args.verbosity)
+    with ContinuousBatcher(engine, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms) as batcher:
+        server = ThreadingHTTPServer((args.host, args.port), make_handler(engine, batcher))
+        print(f"serving {args.model} on http://{args.host}:{args.port}", file=sys.stderr)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
