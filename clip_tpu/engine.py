@@ -155,18 +155,37 @@ class ClipEngine:
         return load_image(path)
 
     def preprocess(self, images, n_workers: int = 4) -> np.ndarray:
-        """uint8 RGB image(s) -> normalized float32 NHWC batch."""
+        """uint8 RGB image(s) -> normalized float32 NHWC batch.
+
+        Uses the native C++ pipeline (thread pool, GIL-free) when available,
+        else the vectorized numpy path; both are PIL/reference-parity.
+        """
         if self.config.vision is None:
             raise RuntimeError("this checkpoint has no vision encoder")
         if isinstance(images, np.ndarray) and images.ndim == 3:
             images = [images]
-        return preprocess_batch(
-            list(images),
-            self.config.vision.image_size,
-            np.asarray(self.config.image_mean),
-            np.asarray(self.config.image_std),
-            n_workers=n_workers,
-        )
+        imgs = []
+        for im in images:
+            im = np.asarray(im)
+            if im.ndim == 2:
+                im = np.stack([im] * 3, axis=-1)
+            if im.shape[-1] == 4:
+                im = im[..., :3]
+            imgs.append(im)
+        size = self.config.vision.image_size
+        mean = np.asarray(self.config.image_mean)
+        std = np.asarray(self.config.image_std)
+        if all(im.dtype == np.uint8 for im in imgs):
+            from . import native
+
+            if native.available():
+                try:
+                    return native.preprocess_batch_native(
+                        imgs, size, mean, std, n_threads=n_workers
+                    )
+                except RuntimeError:
+                    pass  # e.g. image smaller than the crop: numpy path decides
+        return preprocess_batch(imgs, size, mean, std, n_workers=n_workers)
 
     # -- jitted tower entry points -------------------------------------------
 
