@@ -51,3 +51,8 @@ def dispatch(argv=None) -> int:
         return 2
     mod = importlib.import_module(_COMMANDS[cmd][0])
     return mod.main(argv[1:])
+
+
+def run() -> None:
+    """console_scripts entry point."""
+    raise SystemExit(dispatch())
