@@ -32,12 +32,6 @@ LAYER_TENSORS = {
     # param name -> (template, kind)   kind: "weight" | "bias"
     "ln1_w": (C.TN_LN_1, "weight"),
     "ln1_b": (C.TN_LN_1, "bias"),
-    "q_w": (C.TN_ATTN_Q, "weight"),
-    "q_b": (C.TN_ATTN_Q, "bias"),
-    "k_w": (C.TN_ATTN_K, "weight"),
-    "k_b": (C.TN_ATTN_K, "bias"),
-    "v_w": (C.TN_ATTN_V, "weight"),
-    "v_b": (C.TN_ATTN_V, "bias"),
     "o_w": (C.TN_ATTN_OUTPUT, "weight"),
     "o_b": (C.TN_ATTN_OUTPUT, "bias"),
     "ln2_w": (C.TN_LN_2, "weight"),
@@ -47,6 +41,11 @@ LAYER_TENSORS = {
     "down_w": (C.TN_FFN_UP, "weight"),    # GGUF "ffn_up" == HF fc2 == down-proj
     "down_b": (C.TN_FFN_UP, "bias"),
 }
+
+# Q/K/V are fused into one [3H, H] projection at load time: one wide GEMM
+# uses the MXU far better than three narrow N=H ones, and column-parallel TP
+# sharding is preserved (heads stay contiguous within each third).
+_QKV_TENSORS = (C.TN_ATTN_Q, C.TN_ATTN_K, C.TN_ATTN_V)
 
 _QUANT_TYPES = {GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q8_0}
 
@@ -76,12 +75,36 @@ def _stack(leaves: list[Any]) -> Any:
     return np.stack(leaves)
 
 
+def _concat_rows(leaves: list[Any]) -> Any:
+    """Concatenate [N_i, K]-shaped tensors along N (QTensor-aware)."""
+    if isinstance(leaves[0], QTensor):
+        q = np.concatenate([l.q for l in leaves], axis=0)
+        d = np.concatenate([l.d for l in leaves], axis=0)
+        m = None if leaves[0].m is None else np.concatenate([l.m for l in leaves], axis=0)
+        return QTensor(q=q, d=d, m=m, qtype=leaves[0].qtype)
+    return np.concatenate(leaves, axis=0)
+
+
 def _load_layers(reader, tower: str, n_layer: int, keep_quantized: bool, dtype):
     per_name: dict[str, list[Any]] = {k: [] for k in LAYER_TENSORS}
+    per_name["qkv_w"] = []
+    per_name["qkv_b"] = []
     for il in range(n_layer):
         for pname, (tmpl, kind) in LAYER_TENSORS.items():
             tname = tmpl.format(t=tower, i=il, w=kind)
             per_name[pname].append(_load_tensor(reader, tname, keep_quantized, dtype))
+        per_name["qkv_w"].append(
+            _concat_rows([
+                _load_tensor(reader, t.format(t=tower, i=il, w="weight"), keep_quantized, dtype)
+                for t in _QKV_TENSORS
+            ])
+        )
+        per_name["qkv_b"].append(
+            np.concatenate([
+                _load_tensor(reader, t.format(t=tower, i=il, w="bias"), keep_quantized, dtype)
+                for t in _QKV_TENSORS
+            ])
+        )
     return {k: _stack(v) for k, v in per_name.items()}
 
 

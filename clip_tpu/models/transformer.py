@@ -22,14 +22,19 @@ from ..ops.nn import gelu_quick, gelu_tanh, layernorm, softmax
 
 
 def attention(x, lp, *, n_head: int, mask=None, compute_dtype=jnp.float32):
-    """Multi-head self-attention over ``x [B, S, H]``."""
+    """Multi-head self-attention over ``x [B, S, H]``.
+
+    Q/K/V use one fused [3H, H] projection (see models.params): a single wide
+    GEMM instead of three narrow ones — the narrow-N case leaves most of the
+    128x128 MXU idle.
+    """
     b, s, h = x.shape
     d_head = h // n_head
     scale = 1.0 / (d_head ** 0.5)
 
-    q = linear(x, lp["q_w"], lp["q_b"], compute_dtype=compute_dtype) * scale
-    k = linear(x, lp["k_w"], lp["k_b"], compute_dtype=compute_dtype)
-    v = linear(x, lp["v_w"], lp["v_b"], compute_dtype=compute_dtype)
+    qkv = linear(x, lp["qkv_w"], lp["qkv_b"], compute_dtype=compute_dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q * jnp.asarray(scale, compute_dtype)
 
     q = q.reshape(b, s, n_head, d_head)
     k = k.reshape(b, s, n_head, d_head)

@@ -1,0 +1,121 @@
+"""Fused multi-head attention Pallas kernel for short sequences.
+
+CLIP sequences are tiny (77 text tokens, 50-577 vision patches) so the whole
+per-image attention — scores, mask, f32 softmax, value mix — fits in VMEM.
+XLA's einsum formulation instead materializes transposed Q/K/V copies and the
+f32 [B, H, S, S] score tensor in HBM, which measures ~45% of ViT-B/32's
+runtime despite being ~1% of its FLOPs.  This kernel reads Q/K/V once, keeps
+every intermediate in VMEM, and writes only the mixed output.
+
+Layout: Q/K/V stay in their natural [B, S, H] projection layout (no
+[B, H, S, D] transpose); heads are static slices along the last axis and are
+processed by an unrolled loop of small MXU dots inside each grid step.  The
+grid runs over image groups of ``block_b``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["mha_pallas"]
+
+NEG_INF = -1e9
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, n_head, seq_len, causal, scale):
+    """One grid step = ``bb`` images.  The bb images are stacked along the
+    row axis so each head runs ONE [bb*S, D] x [D, bb*S] MXU dot instead of
+    bb tiny ones; cross-image score blocks are masked to -inf (block-diagonal
+    attention).  The (bb-1)x wasted MACs are noise — attention is ~1% of the
+    model's FLOPs — while MXU utilization goes from ~15% to full tiles."""
+    bb = q_ref.shape[0]
+    s_pad = q_ref.shape[1]
+    h = q_ref.shape[2]
+    dh = h // n_head
+    rows_total = bb * s_pad
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (rows_total, rows_total), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rows_total, rows_total), 1)
+    invalid = (rows // s_pad) != (cols // s_pad)          # cross-image
+    invalid = jnp.logical_or(invalid, cols % s_pad >= seq_len)  # key padding
+    if causal:
+        invalid = jnp.logical_or(invalid, cols % s_pad > rows % s_pad)
+    bias = jnp.where(invalid, NEG_INF, 0.0).astype(jnp.float32)
+
+    contract_t = (((1,), (1,)), ((), ()))  # X [M,D] x Y [N,D] -> X @ Y.T
+    contract_n = (((1,), (0,)), ((), ()))  # X [M,N] x Y [N,D] -> X @ Y
+
+    for hd in range(n_head):
+        sl = slice(hd * dh, (hd + 1) * dh)
+        qh = q_ref[:, :, sl].reshape(rows_total, dh) * jnp.asarray(scale, q_ref.dtype)
+        kh = k_ref[:, :, sl].reshape(rows_total, dh)
+        vh = v_ref[:, :, sl].reshape(rows_total, dh)
+        scores = jax.lax.dot_general(
+            qh, kh, contract_t, preferred_element_type=jnp.float32
+        )
+        scores = scores + bias
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            p.astype(q_ref.dtype), vh, contract_n, preferred_element_type=jnp.float32
+        )
+        o_ref[:, :, sl] = out.astype(o_ref.dtype).reshape(bb, s_pad, dh)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_head", "causal", "scale", "interpret", "block_b"),
+)
+def mha_pallas(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    n_head: int,
+    scale: float,
+    causal: bool = False,
+    interpret: bool = False,
+    block_b: int = 8,
+) -> jnp.ndarray:
+    """Fused MHA over ``q/k/v [B, S, H]`` -> ``[B, S, H]``.
+
+    ``scale`` multiplies Q (the reference scales Q before QK^T,
+    clip.cpp:1082).  Padded key positions are masked via ``seq_len`` = S, so
+    callers should pass unpadded S and let the kernel pad internally.
+    """
+    b, s, h = q.shape
+    s_pad = max(-(-s // 8) * 8, 8)
+    # group enough images per step for ~128-256 stacked rows (full MXU tiles)
+    bb = min(block_b if block_b else 1, b)
+    bb = max(1, min(bb, 256 // s_pad if s_pad <= 256 else 1))
+    b_pad = -(-b // bb) * bb
+
+    def pad(x):
+        return jnp.pad(x, ((0, b_pad - b), (0, s_pad - s), (0, 0)))
+
+    qp, kp, vp = pad(q), pad(k), pad(v)
+
+    kernel = functools.partial(
+        _mha_kernel, n_head=n_head, seq_len=s, causal=causal, scale=scale
+    )
+    spec = pl.BlockSpec((bb, s_pad, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b_pad, s_pad, h), q.dtype),
+        grid=(b_pad // bb,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b_pad * s_pad * s_pad * h,
+            bytes_accessed=4 * b_pad * s_pad * h * 2,
+            transcendentals=b_pad * n_head * s_pad * s_pad,
+        ),
+    )(qp, kp, vp)
+    return out[:b, :s, :]

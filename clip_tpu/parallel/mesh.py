@@ -51,9 +51,9 @@ def make_mesh(
 
 
 # Column-parallel (shard output features) / row-parallel (shard contraction).
-_COL_PARALLEL = {"q_w", "k_w", "v_w", "up_w"}
+_COL_PARALLEL = {"qkv_w", "up_w"}
 _ROW_PARALLEL = {"o_w", "down_w"}
-_COL_BIAS = {"q_b", "k_b", "v_b", "up_b"}
+_COL_BIAS = {"qkv_b", "up_b"}
 
 
 def _leaf_spec(path: tuple[str, ...], leaf: Any, n_model: int) -> P:

@@ -59,7 +59,7 @@ def test_param_specs_structure(tiny_q):
         params = load_params(r, cfg, keep_quantized=True)
     specs = param_specs(params, n_model=2)
     lay = specs["vision"]["layers"]
-    assert lay["q_w"].q == P(None, "model", None)
+    assert lay["qkv_w"].q == P(None, "model", None)
     assert lay["o_w"].q == P(None, None, "model")
     assert lay["ln1_w"] == P()
     assert specs["vision"]["proj"].q == P() or specs["vision"]["proj"] == P()
