@@ -19,16 +19,8 @@ from ..ops.nn import l2_normalize, layernorm
 from ..ops.linear import qmatmul
 from ..ops.qtensor import take_rows
 from .config import TextConfig
+from .transformer import _causal_bias as causal_mask  # re-export (back-compat)
 from .transformer import run_blocks
-
-NEG_INF = -1e9  # large finite value: keeps bf16/f32 softmax NaN-free
-
-
-def causal_mask(seq_len: int) -> jnp.ndarray:
-    """[1, 1, S, S] additive mask (ggml_diag_mask_inf, clip.cpp:1101)."""
-    i = jnp.arange(seq_len)[:, None]
-    j = jnp.arange(seq_len)[None, :]
-    return jnp.where(j <= i, 0.0, NEG_INF)[None, None, :, :].astype(jnp.float32)
 
 
 def encode_text(
@@ -40,6 +32,7 @@ def encode_text(
     use_gelu: bool,
     normalize: bool = True,
     compute_dtype=jnp.float32,
+    attn_impl: str = "auto",
 ) -> jnp.ndarray:
     b, s = token_ids.shape
 
@@ -53,8 +46,9 @@ def encode_text(
         n_head=cfg.n_head,
         eps=cfg.eps,
         use_gelu=use_gelu,
-        mask=causal_mask(s),
+        causal=True,
         compute_dtype=compute_dtype,
+        attn_impl=attn_impl,
     )
 
     x = layernorm(x, params["post_ln_w"], params["post_ln_b"], cfg.eps)

@@ -4,10 +4,12 @@ layer parameters.
 Numerics mirror the reference graphs (text: /root/reference/clip.cpp:1064-1143,
 vision: :1342-1423): pre-LN -> MHA (Q pre-scaled by 1/sqrt(d_head)) -> residual
 -> pre-LN -> MLP (tanh-gelu or quick-gelu) -> residual.  Attention softmax runs
-in float32.  TPU-first choices: batched einsum attention (seq <= 577, full
-attention fits VMEM tiles; no causal-materialization tricks needed), scan over
-the stacked layer axis instead of a Python loop, weights consumed through
-``qmatmul`` so quantized checkpoints never materialize dense weights in HBM.
+in float32.  TPU-first choices: scan over the stacked layer axis instead of a
+Python loop, weights consumed through ``qmatmul`` so quantized checkpoints
+never materialize dense weights in HBM, and a fused VMEM attention kernel
+(``ops.attention_pallas``) as the default on TPU — slope-measured ~2x faster
+than the XLA einsum path at ViT-B/32 shapes (B=256, S=50: 0.28 vs 0.54
+ms/layer) because scores/softmax never round-trip HBM.
 """
 
 from __future__ import annotations
@@ -17,11 +19,32 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..ops.attention_pallas import mha_pallas
 from ..ops.linear import linear
 from ..ops.nn import gelu_quick, gelu_tanh, layernorm, softmax
 
+NEG_INF = -1e9  # large finite value: keeps bf16/f32 softmax NaN-free
 
-def attention(x, lp, *, n_head: int, mask=None, compute_dtype=jnp.float32):
+
+def _causal_bias(seq_len: int) -> jnp.ndarray:
+    """[1, 1, S, S] additive mask (ggml_diag_mask_inf, clip.cpp:1101)."""
+    i = jnp.arange(seq_len)[:, None]
+    j = jnp.arange(seq_len)[None, :]
+    return jnp.where(j <= i, 0.0, NEG_INF)[None, None, :, :].astype(jnp.float32)
+
+
+def resolve_attn_impl(attn_impl: str) -> str:
+    """'auto' picks the fused Pallas kernel on TPU, the XLA einsum path
+    elsewhere (Pallas TPU kernels don't run on the CPU backend)."""
+    if attn_impl != "auto":
+        return attn_impl
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def attention(
+    x, lp, *, n_head: int, causal: bool = False,
+    compute_dtype=jnp.float32, attn_impl: str = "auto",
+):
     """Multi-head self-attention over ``x [B, S, H]``.
 
     Q/K/V use one fused [3H, H] projection (see models.params): a single wide
@@ -36,22 +59,27 @@ def attention(x, lp, *, n_head: int, mask=None, compute_dtype=jnp.float32):
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q * jnp.asarray(scale, compute_dtype)
 
-    q = q.reshape(b, s, n_head, d_head)
-    k = k.reshape(b, s, n_head, d_head)
-    v = v.reshape(b, s, n_head, d_head)
-
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-    if mask is not None:
-        scores = scores + mask
-    attn = softmax(scores.astype(jnp.float32), axis=-1).astype(compute_dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v, preferred_element_type=jnp.float32)
-    out = out.astype(compute_dtype).reshape(b, s, h)
+    impl = resolve_attn_impl(attn_impl)
+    if impl == "pallas":
+        out = mha_pallas(q, k, v, n_head=n_head, scale=1.0, causal=causal)
+    else:
+        q = q.reshape(b, s, n_head, d_head)
+        kh = k.reshape(b, s, n_head, d_head)
+        vh = v.reshape(b, s, n_head, d_head)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, kh, preferred_element_type=jnp.float32)
+        if causal:
+            scores = scores + _causal_bias(s)
+        attn = softmax(scores.astype(jnp.float32), axis=-1).astype(compute_dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh, preferred_element_type=jnp.float32)
+        out = out.astype(compute_dtype).reshape(b, s, h)
     return linear(out, lp["o_w"], lp["o_b"], compute_dtype=compute_dtype)
 
 
-def block(x, lp, *, n_head, eps, use_gelu, mask=None, compute_dtype=jnp.float32):
+def block(x, lp, *, n_head, eps, use_gelu, causal=False,
+          compute_dtype=jnp.float32, attn_impl="auto"):
     h = layernorm(x, lp["ln1_w"], lp["ln1_b"], eps)
-    x = x + attention(h, lp, n_head=n_head, mask=mask, compute_dtype=compute_dtype)
+    x = x + attention(h, lp, n_head=n_head, causal=causal,
+                      compute_dtype=compute_dtype, attn_impl=attn_impl)
     h = layernorm(x, lp["ln2_w"], lp["ln2_b"], eps)
     h = linear(h, lp["up_w"], lp["up_b"], compute_dtype=compute_dtype)
     h = gelu_tanh(h) if use_gelu else gelu_quick(h)
@@ -59,11 +87,12 @@ def block(x, lp, *, n_head, eps, use_gelu, mask=None, compute_dtype=jnp.float32)
     return x + h
 
 
-def run_blocks(x, layers, *, n_head, eps, use_gelu, mask=None, compute_dtype=jnp.float32):
+def run_blocks(x, layers, *, n_head, eps, use_gelu, causal=False,
+               compute_dtype=jnp.float32, attn_impl="auto"):
     """Scan the transformer stack; ``layers`` leaves carry a leading L axis."""
     f = partial(
-        block, n_head=n_head, eps=eps, use_gelu=use_gelu, mask=mask,
-        compute_dtype=compute_dtype,
+        block, n_head=n_head, eps=eps, use_gelu=use_gelu, causal=causal,
+        compute_dtype=compute_dtype, attn_impl=attn_impl,
     )
 
     def step(carry, lp):

@@ -43,6 +43,7 @@ def encode_image(
     use_gelu: bool,
     normalize: bool = True,
     compute_dtype=jnp.float32,
+    attn_impl: str = "auto",
 ) -> jnp.ndarray:
     b = pixels.shape[0]
     p = cfg.patch_size
@@ -71,8 +72,9 @@ def encode_image(
         n_head=cfg.n_head,
         eps=cfg.eps,
         use_gelu=use_gelu,
-        mask=None,
+        causal=False,
         compute_dtype=compute_dtype,
+        attn_impl=attn_impl,
     )
 
     pooled = x[:, 0, :]  # CLS (clip.cpp:1426-1430)
