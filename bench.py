@@ -33,7 +33,7 @@ import time
 
 BASELINE_IMAGES_PER_SEC = 20.0
 BATCH = 256
-ITERS_PER_ROUND = 10
+ITERS_PER_ROUND = 20   # deep dispatch pipeline: hides the relay's per-call cost
 ROUNDS = 5
 
 
@@ -74,6 +74,7 @@ def main() -> None:
             use_gelu=cfg.use_gelu,
             normalize=True,
             compute_dtype=jnp.bfloat16,
+            unroll=True,  # steady-state serving: one-time compile amortizes
         )
     )
 

@@ -33,6 +33,7 @@ def encode_text(
     normalize: bool = True,
     compute_dtype=jnp.float32,
     attn_impl: str = "auto",
+    unroll: bool = False,
 ) -> jnp.ndarray:
     b, s = token_ids.shape
 
@@ -49,6 +50,7 @@ def encode_text(
         causal=True,
         compute_dtype=compute_dtype,
         attn_impl=attn_impl,
+        unroll=unroll,
     )
 
     x = layernorm(x, params["post_ln_w"], params["post_ln_b"], cfg.eps)

@@ -88,12 +88,24 @@ def block(x, lp, *, n_head, eps, use_gelu, causal=False,
 
 
 def run_blocks(x, layers, *, n_head, eps, use_gelu, causal=False,
-               compute_dtype=jnp.float32, attn_impl="auto"):
-    """Scan the transformer stack; ``layers`` leaves carry a leading L axis."""
+               compute_dtype=jnp.float32, attn_impl="auto", unroll=False):
+    """Run the transformer stack; ``layers`` leaves carry a leading L axis.
+
+    ``unroll=True`` emits a Python loop instead of ``lax.scan``: each layer's
+    weights become distinct HBM buffers, letting XLA prefetch/pipe across
+    layer boundaries instead of dynamic-slicing the stacked arrays every
+    iteration.  Costs compile time, can win on wall-clock.
+    """
     f = partial(
         block, n_head=n_head, eps=eps, use_gelu=use_gelu, causal=causal,
         compute_dtype=compute_dtype, attn_impl=attn_impl,
     )
+
+    if unroll:
+        n_layer = jax.tree.leaves(layers)[0].shape[0]
+        for i in range(n_layer):
+            x = f(x, jax.tree.map(lambda a: a[i], layers))
+        return x
 
     def step(carry, lp):
         return f(carry, lp), None

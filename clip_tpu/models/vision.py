@@ -44,6 +44,7 @@ def encode_image(
     normalize: bool = True,
     compute_dtype=jnp.float32,
     attn_impl: str = "auto",
+    unroll: bool = False,
 ) -> jnp.ndarray:
     b = pixels.shape[0]
     p = cfg.patch_size
@@ -75,6 +76,7 @@ def encode_image(
         causal=False,
         compute_dtype=compute_dtype,
         attn_impl=attn_impl,
+        unroll=unroll,
     )
 
     pooled = x[:, 0, :]  # CLS (clip.cpp:1426-1430)
