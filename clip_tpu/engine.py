@@ -38,7 +38,7 @@ from .models.vision import encode_image
 from .parallel import mesh as pmesh
 from .preprocess import load_image, preprocess_batch
 from .tokenizer import ClipTokenizer
-from .utils import log
+from .utils import enable_compile_cache, log
 
 _BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
 
@@ -79,6 +79,7 @@ class ClipEngine:
         use_mesh: bool = False,
         verbosity: int = 1,
     ):
+        enable_compile_cache()
         self.model_path = str(model_path)
         self.verbosity = verbosity
         self.reader = GGUFReader(self.model_path)
