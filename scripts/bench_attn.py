@@ -35,8 +35,8 @@ from clip_tpu.ops.nn import softmax
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 S = int(sys.argv[2]) if len(sys.argv) > 2 else 50
-H = 768
-NH = 12
+H = int(sys.argv[3]) if len(sys.argv) > 3 else 768
+NH = int(sys.argv[4]) if len(sys.argv) > 4 else 12
 DH = H // NH
 LAYERS = 12
 SCALE = 1.0 / DH ** 0.5

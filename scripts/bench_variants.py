@@ -1,0 +1,82 @@
+"""Throughput table across model variants (q4_0, bf16 compute, 1 chip).
+
+Secondary benchmark backing docs/PERF_NOTES.md; the driver metric stays
+bench.py's single ViT-B/32 line.  Usage: python scripts/bench_variants.py
+[variant ...]; default runs all.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from clip_tpu.gguf import GGUFReader
+from clip_tpu.models.config import ClipConfig
+from clip_tpu.models.params import load_params
+from clip_tpu.models.vision import encode_image
+from clip_tpu.synth import make_synthetic_gguf
+from clip_tpu.utils import enable_compile_cache
+
+BATCHES = {
+    "ViT-B/32": 256,
+    "ViT-B/16": 128,
+    "ViT-L/14": 64,
+    "ViT-L/14-336": 32,
+    "ViT-H/14": 32,
+}
+ITERS = 20
+
+
+def bench(variant: str) -> tuple[float, float]:
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache")
+    os.makedirs(cache, exist_ok=True)
+    tag = variant.replace("/", "-").replace("ViT", "vit").lower()
+    path = os.path.join(cache, f"bench_{tag}_q4_0_vision.gguf")
+    if not os.path.exists(path):
+        make_synthetic_gguf(path, variant, ftype="q4_0", towers="vision")
+    reader = GGUFReader(path)
+    cfg = ClipConfig.from_gguf(reader)
+    params = jax.device_put(
+        load_params(reader, cfg, keep_quantized=True, dtype=jnp.bfloat16)["vision"])
+    b = BATCHES[variant]
+    px = jax.device_put(np.random.default_rng(0).normal(
+        size=(b, cfg.vision.image_size, cfg.vision.image_size, 3)).astype(np.float32))
+    fn = jax.jit(functools.partial(
+        encode_image, cfg=cfg.vision, use_gelu=cfg.use_gelu,
+        normalize=True, compute_dtype=jnp.bfloat16, unroll=True))
+    out = fn(params, pixels=px)
+    float(jnp.sum(out))
+    ts = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = fn(params, pixels=px)
+        float(jnp.sum(out))
+        ts.append((time.perf_counter() - t0) / ITERS)
+    ms = min(ts) * 1e3
+    return ms, b / min(ts)
+
+
+def main():
+    enable_compile_cache()
+    variants = sys.argv[1:] or list(BATCHES)
+    print(f"| variant | batch | ms/step | images/s/chip |")
+    print(f"|---|---|---|---|")
+    for v in variants:
+        try:
+            ms, ips = bench(v)
+            print(f"| {v} | {BATCHES[v]} | {ms:.1f} | {ips:,.0f} |", flush=True)
+        except Exception as e:
+            print(f"| {v} | {BATCHES[v]} | FAILED {type(e).__name__} | |", flush=True)
+
+
+if __name__ == "__main__":
+    main()

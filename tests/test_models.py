@@ -154,3 +154,31 @@ def test_qtensor_dequant_matches_numpy_oracle(tiny):
         qt = from_ggml_blocks(packed, info.shape, info.ggml_type)
         dev = np.asarray(dequant(qt, dtype=jnp.float32))
     np.testing.assert_array_equal(dev, oracle)
+
+
+def test_unroll_matches_scan(tiny, rng):
+    """run_blocks(unroll=True) must be numerically identical to the scan."""
+    cfg = tiny["cfg"]
+    pixels = rng.normal(size=(2, cfg.vision.image_size, cfg.vision.image_size, 3))
+    pixels = pixels.astype(np.float32)
+    outs = {}
+    for unroll in (False, True):
+        outs[unroll] = np.asarray(encode_image(
+            tiny["params"]["vision"], cfg.vision, jnp.asarray(pixels),
+            use_gelu=cfg.use_gelu, normalize=True, unroll=unroll))
+    np.testing.assert_allclose(outs[False], outs[True], atol=1e-6, rtol=1e-6)
+
+
+def test_attn_impl_explicit_xla_matches_auto_on_cpu(tiny, rng):
+    """On the CPU backend 'auto' resolves to 'xla'; both must agree, and
+    requesting 'pallas' on CPU is expected to fail (TPU-only kernel)."""
+    cfg = tiny["cfg"]
+    ids = random_tokens(rng, 3, cfg.text.num_positions)
+    lengths = np.full((3,), cfg.text.num_positions, np.int32)
+    a = np.asarray(encode_text(
+        tiny["params"]["text"], cfg.text, jnp.asarray(ids), jnp.asarray(lengths),
+        use_gelu=cfg.use_gelu, normalize=True, attn_impl="auto"))
+    b = np.asarray(encode_text(
+        tiny["params"]["text"], cfg.text, jnp.asarray(ids), jnp.asarray(lengths),
+        use_gelu=cfg.use_gelu, normalize=True, attn_impl="xla"))
+    np.testing.assert_array_equal(a, b)
