@@ -77,6 +77,7 @@ class ClipEngine:
         keep_quantized: bool = True,
         mesh: "jax.sharding.Mesh | None" = None,
         use_mesh: bool = False,
+        attn_impl: str = "auto",
         verbosity: int = 1,
     ):
         enable_compile_cache()
@@ -124,7 +125,26 @@ class ClipEngine:
                 tokens, bos_id=min(49406, n - 2), eos_id=min(49407, n - 1)
             )
 
+        # Pallas custom calls cannot be partitioned by pjit's SPMD pass, so
+        # mesh execution must use the XLA attention path (the kernel remains
+        # the single-chip default via "auto").
+        if attn_impl not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown attn_impl {attn_impl!r}: use auto|pallas|xla")
+        if attn_impl == "auto" and self.mesh is not None:
+            attn_impl = "xla"
+        self.attn_impl = attn_impl
+
+        # data-sharded batches must divide the mesh's data axis
+        self._batch_multiple = 1
+        if self.mesh is not None and "data" in self.mesh.axis_names:
+            self._batch_multiple = self.mesh.shape["data"]
+
         self._jit_cache: dict = {}
+
+    def _bucket(self, n: int) -> int:
+        m = self._batch_multiple
+        b = _bucket(n)
+        return b if b % m == 0 else ((b + m - 1) // m) * m
 
     # -- hparams (clip_get_text_hparams / clip_get_vision_hparams) ----------
 
@@ -201,6 +221,7 @@ class ClipEngine:
                     params, cfg.text, ids, lengths,
                     use_gelu=cfg.use_gelu, normalize=normalize,
                     compute_dtype=self.compute_dtype,
+                    attn_impl=self.attn_impl,
                 )
 
             self._jit_cache[key] = fn
@@ -217,6 +238,7 @@ class ClipEngine:
                     params, cfg.vision, pixels,
                     use_gelu=cfg.use_gelu, normalize=normalize,
                     compute_dtype=self.compute_dtype,
+                    attn_impl=self.attn_impl,
                 )
 
             self._jit_cache[key] = fn
@@ -242,6 +264,7 @@ class ClipEngine:
                     params, cfg.vision, prep(imgs_u8),
                     use_gelu=cfg.use_gelu, normalize=normalize,
                     compute_dtype=self.compute_dtype,
+                    attn_impl=self.attn_impl,
                 )
 
             self._jit_cache[key] = fn
@@ -264,7 +287,7 @@ class ClipEngine:
             self.tokenize(t) if isinstance(t, str) else list(t) for t in texts
         ]
         b = len(ids_list)
-        bb = _bucket(b)
+        bb = self._bucket(b)
         ids = np.full((bb, n_pos), self.tokenizer.eos_id, np.int32)
         lengths = np.ones(bb, np.int32)
         for i, t in enumerate(ids_list):
@@ -313,7 +336,7 @@ class ClipEngine:
             else:
                 pixels = self.preprocess(arrs)
         b = pixels.shape[0]
-        bb = _bucket(b)
+        bb = self._bucket(b)
         if bb != b:
             pad = np.repeat(pixels[-1:], bb - b, axis=0)
             pixels = np.concatenate([pixels, pad], axis=0)
@@ -323,7 +346,7 @@ class ClipEngine:
 
     def _encode_image_raw(self, imgs_u8: np.ndarray, *, normalize: bool, single: bool) -> np.ndarray:
         b, h, w, _ = imgs_u8.shape
-        bb = _bucket(b)
+        bb = self._bucket(b)
         if bb != b:
             pad = np.repeat(imgs_u8[-1:], bb - b, axis=0)
             imgs_u8 = np.concatenate([imgs_u8, pad], axis=0)

@@ -36,9 +36,11 @@ def _causal_bias(seq_len: int) -> jnp.ndarray:
 def resolve_attn_impl(attn_impl: str) -> str:
     """'auto' picks the fused Pallas kernel on TPU, the XLA einsum path
     elsewhere (Pallas TPU kernels don't run on the CPU backend)."""
-    if attn_impl != "auto":
-        return attn_impl
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    if attn_impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    if attn_impl not in ("pallas", "xla"):
+        raise ValueError(f"unknown attn_impl {attn_impl!r}: use auto|pallas|xla")
+    return attn_impl
 
 
 def attention(
