@@ -33,7 +33,7 @@ def _decode_image(b64: str) -> np.ndarray:
         return np.asarray(im.convert("RGB"))
 
 
-def make_handler(engine: ClipEngine, batcher: ContinuousBatcher):
+def make_handler(engine: ClipEngine, batcher: ContinuousBatcher, timeout_s: float = 600.0):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, obj) -> None:
             body = json.dumps(obj).encode()
@@ -61,20 +61,20 @@ def make_handler(engine: ClipEngine, batcher: ContinuousBatcher):
                 if self.path == "/v1/embed/text":
                     norm = bool(req.get("normalize", True))
                     futs = [batcher.submit_text(t, norm) for t in req["texts"]]
-                    vecs = [f.result(120).tolist() for f in futs]
+                    vecs = [f.result(timeout_s).tolist() for f in futs]
                     self._send(200, {"embeddings": vecs})
                 elif self.path == "/v1/embed/image":
                     norm = bool(req.get("normalize", True))
                     imgs = [_decode_image(b) for b in req["images_b64"]]
                     futs = [batcher.submit_image(im, norm) for im in imgs]
-                    vecs = [f.result(120).tolist() for f in futs]
+                    vecs = [f.result(timeout_s).tolist() for f in futs]
                     self._send(200, {"embeddings": vecs})
                 elif self.path == "/v1/zsl":
                     img = _decode_image(req["image_b64"])
                     labels = req["labels"]
-                    ivec = batcher.submit_image(img, False).result(120)
+                    ivec = batcher.submit_image(img, False).result(timeout_s)
                     tfuts = [batcher.submit_text(t, False) for t in labels]
-                    tvecs = np.stack([f.result(120) for f in tfuts])
+                    tvecs = np.stack([f.result(timeout_s) for f in tfuts])
                     scores, idx = softmax_with_sorting(tvecs @ ivec)
                     self._send(200, {
                         "labels": [labels[int(i)] for i in idx],
@@ -83,7 +83,12 @@ def make_handler(engine: ClipEngine, batcher: ContinuousBatcher):
                 else:
                     self._send(404, {"error": "not found"})
             except Exception as e:
-                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                print(f"request error on {self.path}: {type(e).__name__}: {e}",
+                      file=sys.stderr, flush=True)
+                try:
+                    self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # client gave up; the server-side log line above remains
 
     return Handler
 
@@ -92,13 +97,16 @@ def main(argv=None) -> int:
     p = base_parser("clip-tpu-serve", __doc__, needs_text=False, needs_image=False)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8090)
+    p.add_argument("--request-timeout", type=float, default=600.0,
+                   help="seconds a request waits for its batch result "
+                        "(first request on a cold process includes XLA compile)")
     p.add_argument("--max-batch", type=int, default=64)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     args = p.parse_args(argv)
 
     engine = ClipEngine(args.model, verbosity=args.verbosity)
     with ContinuousBatcher(engine, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms) as batcher:
-        server = ThreadingHTTPServer((args.host, args.port), make_handler(engine, batcher))
+        server = ThreadingHTTPServer((args.host, args.port), make_handler(engine, batcher, args.request_timeout))
         print(f"serving {args.model} on http://{args.host}:{args.port}", file=sys.stderr)
         try:
             server.serve_forever()
