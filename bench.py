@@ -74,7 +74,7 @@ def main() -> None:
             use_gelu=cfg.use_gelu,
             normalize=True,
             compute_dtype=jnp.bfloat16,
-            unroll=True,  # steady-state serving: one-time compile amortizes
+            unroll=True,  # steady-state serving config (clip-tpu-serve --unroll)
         )
     )
 

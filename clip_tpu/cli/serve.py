@@ -102,9 +102,12 @@ def main(argv=None) -> int:
                         "(first request on a cold process includes XLA compile)")
     p.add_argument("--max-batch", type=int, default=64)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--unroll", action="store_true",
+                   help="unroll the layer stack: slower first compile, "
+                        "slightly faster steady-state throughput")
     args = p.parse_args(argv)
 
-    engine = ClipEngine(args.model, verbosity=args.verbosity)
+    engine = ClipEngine(args.model, verbosity=args.verbosity, unroll=args.unroll)
     with ContinuousBatcher(engine, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms) as batcher:
         server = ThreadingHTTPServer((args.host, args.port), make_handler(engine, batcher, args.request_timeout))
         print(f"serving {args.model} on http://{args.host}:{args.port}", file=sys.stderr)

@@ -34,6 +34,7 @@ from .gguf import constants as C
 from .models.config import ClipConfig
 from .models.params import load_params
 from .models.text import encode_text
+from .models.transformer import VALID_ATTN_IMPLS
 from .models.vision import encode_image
 from .parallel import mesh as pmesh
 from .preprocess import load_image, preprocess_batch
@@ -78,6 +79,7 @@ class ClipEngine:
         mesh: "jax.sharding.Mesh | None" = None,
         use_mesh: bool = False,
         attn_impl: str = "auto",
+        unroll: bool = False,
         verbosity: int = 1,
     ):
         enable_compile_cache()
@@ -128,11 +130,21 @@ class ClipEngine:
         # Pallas custom calls cannot be partitioned by pjit's SPMD pass, so
         # mesh execution must use the XLA attention path (the kernel remains
         # the single-chip default via "auto").
-        if attn_impl not in ("auto", "pallas", "xla"):
-            raise ValueError(f"unknown attn_impl {attn_impl!r}: use auto|pallas|xla")
-        if attn_impl == "auto" and self.mesh is not None:
-            attn_impl = "xla"
+        if attn_impl not in VALID_ATTN_IMPLS:
+            raise ValueError(
+                f"unknown attn_impl {attn_impl!r}: use {'|'.join(VALID_ATTN_IMPLS)}")
+        if self.mesh is not None:
+            if attn_impl == "pallas":
+                raise ValueError(
+                    "attn_impl='pallas' cannot run under a device mesh "
+                    "(Pallas custom calls are not pjit-partitionable); "
+                    "use attn_impl='auto' or 'xla'")
+            if attn_impl == "auto":
+                attn_impl = "xla"
         self.attn_impl = attn_impl
+        # unroll=True trades ~45s extra compile per tower shape for a slightly
+        # faster steady state (bench.py uses it); scan is the latency default.
+        self.unroll = unroll
 
         # data-sharded batches must divide the mesh's data axis
         self._batch_multiple = 1
@@ -222,6 +234,7 @@ class ClipEngine:
                     use_gelu=cfg.use_gelu, normalize=normalize,
                     compute_dtype=self.compute_dtype,
                     attn_impl=self.attn_impl,
+                    unroll=self.unroll,
                 )
 
             self._jit_cache[key] = fn
@@ -239,6 +252,7 @@ class ClipEngine:
                     use_gelu=cfg.use_gelu, normalize=normalize,
                     compute_dtype=self.compute_dtype,
                     attn_impl=self.attn_impl,
+                    unroll=self.unroll,
                 )
 
             self._jit_cache[key] = fn
@@ -265,6 +279,7 @@ class ClipEngine:
                     use_gelu=cfg.use_gelu, normalize=normalize,
                     compute_dtype=self.compute_dtype,
                     attn_impl=self.attn_impl,
+                    unroll=self.unroll,
                 )
 
             self._jit_cache[key] = fn

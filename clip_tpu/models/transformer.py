@@ -24,6 +24,7 @@ from ..ops.linear import linear
 from ..ops.nn import gelu_quick, gelu_tanh, layernorm, softmax
 
 NEG_INF = -1e9  # large finite value: keeps bf16/f32 softmax NaN-free
+VALID_ATTN_IMPLS = ("auto", "pallas", "xla")
 
 
 def _causal_bias(seq_len: int) -> jnp.ndarray:
@@ -38,8 +39,9 @@ def resolve_attn_impl(attn_impl: str) -> str:
     elsewhere (Pallas TPU kernels don't run on the CPU backend)."""
     if attn_impl == "auto":
         return "pallas" if jax.default_backend() == "tpu" else "xla"
-    if attn_impl not in ("pallas", "xla"):
-        raise ValueError(f"unknown attn_impl {attn_impl!r}: use auto|pallas|xla")
+    if attn_impl not in VALID_ATTN_IMPLS:
+        raise ValueError(
+            f"unknown attn_impl {attn_impl!r}: use {'|'.join(VALID_ATTN_IMPLS)}")
     return attn_impl
 
 

@@ -31,8 +31,11 @@ def enable_compile_cache() -> None:
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        # cache even fast compiles: CLI latency is dominated by many ~1s ones
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        # cache even fast compiles (CLI latency is dominated by many ~1s
+        # ones) — but never clobber thresholds the user set explicitly
+        if not os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"):
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+        if not os.environ.get("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"):
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:  # unknown config on old jax: fall back silently
         pass

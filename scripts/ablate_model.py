@@ -98,11 +98,8 @@ def main():
         ]:
             transformer.attention = attn
             transformer.block = blk
-
-            def block_shim(x, lp, **kw):
-                return transformer.block(x, lp, **kw)
-
-            # run_blocks closes over `block` via module global; repoint it
+            # run_blocks resolves `block`/`attention` via module globals at
+            # trace time, so the monkeypatch above is all that's needed
             fn = jax.jit(functools.partial(
                 encode_image, cfg=cfg.vision, use_gelu=cfg.use_gelu,
                 normalize=True, compute_dtype=jnp.bfloat16, attn_impl=impl))

@@ -71,11 +71,12 @@ def main():
     print(f"| variant | batch | ms/step | images/s/chip |")
     print(f"|---|---|---|---|")
     for v in variants:
+        batch = BATCHES.get(v, "?")
         try:
             ms, ips = bench(v)
-            print(f"| {v} | {BATCHES[v]} | {ms:.1f} | {ips:,.0f} |", flush=True)
+            print(f"| {v} | {batch} | {ms:.1f} | {ips:,.0f} |", flush=True)
         except Exception as e:
-            print(f"| {v} | {BATCHES[v]} | FAILED {type(e).__name__} | |", flush=True)
+            print(f"| {v} | {batch} | FAILED {type(e).__name__} | |", flush=True)
 
 
 if __name__ == "__main__":

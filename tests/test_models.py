@@ -170,8 +170,7 @@ def test_unroll_matches_scan(tiny, rng):
 
 
 def test_attn_impl_explicit_xla_matches_auto_on_cpu(tiny, rng):
-    """On the CPU backend 'auto' resolves to 'xla'; both must agree, and
-    requesting 'pallas' on CPU is expected to fail (TPU-only kernel)."""
+    """On the CPU backend 'auto' resolves to 'xla'; both must agree."""
     cfg = tiny["cfg"]
     ids = random_tokens(rng, 3, cfg.text.num_positions)
     lengths = np.full((3,), cfg.text.num_positions, np.int32)
@@ -182,3 +181,25 @@ def test_attn_impl_explicit_xla_matches_auto_on_cpu(tiny, rng):
         tiny["params"]["text"], cfg.text, jnp.asarray(ids), jnp.asarray(lengths),
         use_gelu=cfg.use_gelu, normalize=True, attn_impl="xla"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_attn_impl_pallas_fails_on_cpu(tiny, rng):
+    """Requesting the TPU kernel on the CPU backend must error, not silently
+    produce something else (resolve_attn_impl passes it through verbatim)."""
+    cfg = tiny["cfg"]
+    ids = random_tokens(rng, 2, cfg.text.num_positions)
+    lengths = np.full((2,), cfg.text.num_positions, np.int32)
+    with pytest.raises(Exception):
+        np.asarray(encode_text(
+            tiny["params"]["text"], cfg.text, jnp.asarray(ids),
+            jnp.asarray(lengths), use_gelu=cfg.use_gelu, normalize=True,
+            attn_impl="pallas"))
+
+
+def test_engine_rejects_pallas_with_mesh(tiny):
+    import jax as _jax
+    from clip_tpu.engine import ClipEngine
+    if len(_jax.devices()) < 2:
+        pytest.skip("needs a multi-device (virtual) platform")
+    with pytest.raises(ValueError, match="pallas"):
+        ClipEngine(str(tiny["path"]), use_mesh=True, attn_impl="pallas", verbosity=0)
