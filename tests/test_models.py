@@ -2,10 +2,16 @@
 (via GGUF round-trip), plus quantized-checkpoint quality and padding
 invariance."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 import torch
+
+ON_TPU = jax.default_backend() == "tpu"
+# TPU f32 matmuls run as bf16 MXU passes: HF (torch, exact f32) comparisons
+# need wider bounds than on the CPU backend
+HF_TOL = dict(atol=2e-2, rtol=2e-2) if ON_TPU else dict(atol=2e-5, rtol=1e-4)
 
 from clip_tpu.gguf import GGUFReader
 from clip_tpu.models.config import ClipConfig
@@ -55,7 +61,11 @@ def test_text_tower_matches_hf(tiny, rng):
         params["text"], cfg.text, jnp.asarray(ids), jnp.full(3, 9, jnp.int32),
         use_gelu=cfg.use_gelu, normalize=False,
     )
-    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-4)
+    out = np.asarray(out)
+    np.testing.assert_allclose(out, ref, **HF_TOL)
+    cos = np.sum(out * ref, -1) / (
+        np.linalg.norm(out, axis=-1) * np.linalg.norm(ref, axis=-1))
+    assert cos.min() > 0.9999
 
 
 def test_text_padding_invariance(tiny, rng):
@@ -186,6 +196,8 @@ def test_attn_impl_explicit_xla_matches_auto_on_cpu(tiny, rng):
 def test_attn_impl_pallas_fails_on_cpu(tiny, rng):
     """Requesting the TPU kernel on the CPU backend must error, not silently
     produce something else (resolve_attn_impl passes it through verbatim)."""
+    if ON_TPU:
+        pytest.skip("pallas works on the TPU backend by design")
     cfg = tiny["cfg"]
     ids = random_tokens(rng, 2, cfg.text.num_positions)
     lengths = np.full((2,), cfg.text.num_positions, np.int32)
