@@ -19,7 +19,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention_pallas import mha_pallas
+from ..ops.attention_pallas import mha_pallas_qkv
 from ..ops.linear import linear
 from ..ops.nn import gelu_quick, gelu_tanh, layernorm, softmax
 
@@ -60,14 +60,14 @@ def attention(
     scale = 1.0 / (d_head ** 0.5)
 
     qkv = linear(x, lp["qkv_w"], lp["qkv_b"], compute_dtype=compute_dtype)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    q = q * jnp.asarray(scale, compute_dtype)
 
     impl = resolve_attn_impl(attn_impl)
     if impl == "pallas":
-        out = mha_pallas(q, k, v, n_head=n_head, scale=1.0, causal=causal)
+        # fused qkv goes straight into the kernel: no split/scale/pad passes
+        out = mha_pallas_qkv(qkv, n_head=n_head, scale=scale, causal=causal)
     else:
-        q = q.reshape(b, s, n_head, d_head)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = (q * jnp.asarray(scale, compute_dtype)).reshape(b, s, n_head, d_head)
         kh = k.reshape(b, s, n_head, d_head)
         vh = v.reshape(b, s, n_head, d_head)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, kh, preferred_element_type=jnp.float32)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["mha_pallas"]
+__all__ = ["mha_pallas", "mha_pallas_qkv"]
 
 NEG_INF = -1e9
 
@@ -66,6 +66,95 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, n_head, seq_len, causal, scale):
             p.astype(q_ref.dtype), vh, contract_n, preferred_element_type=jnp.float32
         )
         o_ref[:, :, sl] = out.astype(o_ref.dtype).reshape(bb, s_pad, dh)
+
+
+def _qkv_kernel(qkv_ref, o_ref, *, n_head, seq_len, causal, scale):
+    """Same block-diagonal attention as _mha_kernel, but reading the fused
+    [bb, S, 3H] QKV projection directly: Q/K/V become 128-aligned lane
+    slices in VMEM, so the XLA-level split/scale/pad passes (3x ~20 MB HBM
+    round-trips per layer at ViT-B/32 B=256) disappear."""
+    bb = qkv_ref.shape[0]
+    s_pad = qkv_ref.shape[1]
+    h = qkv_ref.shape[2] // 3
+    dh = h // n_head
+    rows_total = bb * s_pad
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (rows_total, rows_total), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rows_total, rows_total), 1)
+    invalid = (rows // s_pad) != (cols // s_pad)
+    invalid = jnp.logical_or(invalid, cols % s_pad >= seq_len)
+    if causal:
+        invalid = jnp.logical_or(invalid, cols % s_pad > rows % s_pad)
+    bias = jnp.where(invalid, NEG_INF, 0.0).astype(jnp.float32)
+
+    contract_t = (((1,), (1,)), ((), ()))
+    contract_n = (((1,), (0,)), ((), ()))
+
+    for hd in range(n_head):
+        qs = slice(hd * dh, (hd + 1) * dh)
+        ks = slice(h + hd * dh, h + (hd + 1) * dh)
+        vs = slice(2 * h + hd * dh, 2 * h + (hd + 1) * dh)
+        qh = qkv_ref[:, :, qs].reshape(rows_total, dh) * jnp.asarray(scale, qkv_ref.dtype)
+        kh = qkv_ref[:, :, ks].reshape(rows_total, dh)
+        vh = qkv_ref[:, :, vs].reshape(rows_total, dh)
+        scores = jax.lax.dot_general(
+            qh, kh, contract_t, preferred_element_type=jnp.float32
+        )
+        scores = scores + bias
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            p.astype(qkv_ref.dtype), vh, contract_n, preferred_element_type=jnp.float32
+        )
+        o_ref[:, :, hd * dh:(hd + 1) * dh] = out.astype(o_ref.dtype).reshape(
+            bb, s_pad, dh)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_head", "causal", "scale", "interpret", "block_b"),
+)
+def mha_pallas_qkv(
+    qkv: jnp.ndarray,
+    *,
+    n_head: int,
+    scale: float,
+    causal: bool = False,
+    interpret: bool = False,
+    block_b: int = 8,
+) -> jnp.ndarray:
+    """Fused MHA over the fused projection ``qkv [B, S, 3H]`` -> ``[B, S, H]``.
+
+    ``scale`` multiplies the Q slice in-kernel (the reference scales Q before
+    QK^T, clip.cpp:1082)."""
+    b, s, h3 = qkv.shape
+    h = h3 // 3
+    s_pad = max(-(-s // 8) * 8, 8)
+    bb = min(block_b if block_b else 1, b)
+    bb = max(1, min(bb, 256 // s_pad if s_pad <= 256 else 1))
+    b_pad = -(-b // bb) * bb
+
+    qkv_p = jnp.pad(qkv, ((0, b_pad - b), (0, s_pad - s), (0, 0)))
+    kernel = functools.partial(
+        _qkv_kernel, n_head=n_head, seq_len=s, causal=causal, scale=scale
+    )
+    in_spec = pl.BlockSpec((bb, s_pad, h3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((bb, s_pad, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b_pad, s_pad, h), qkv.dtype),
+        grid=(b_pad // bb,),
+        in_specs=[in_spec],
+        out_specs=out_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b_pad * s_pad * s_pad * h,
+            bytes_accessed=8 * b_pad * s_pad * h,
+            transcendentals=b_pad * n_head * s_pad * s_pad,
+        ),
+    )(qkv_p)
+    return out[:b, :s, :]
 
 
 @functools.partial(

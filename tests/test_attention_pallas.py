@@ -50,3 +50,19 @@ def test_padding_is_masked(rng):
     out = np.asarray(mha_pallas(q, k, v, n_head=nh, scale=0.25, interpret=True))
     ref = np.asarray(ref_mha(q, k, v, nh, 0.25))
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("b,s,h,nh,causal", [(3, 50, 64, 4, False), (2, 77, 64, 4, True)])
+def test_qkv_variant_matches_reference(rng, b, s, h, nh, causal):
+    from clip_tpu.ops.attention_pallas import mha_pallas_qkv
+
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, s, h)).astype(np.float32)) for _ in range(3)
+    )
+    scale = (h // nh) ** -0.5
+    ref = np.asarray(ref_mha(q, k, v, nh, scale, causal))
+    qkv = jnp.concatenate([q, k, v], axis=-1)
+    out = np.asarray(
+        mha_pallas_qkv(qkv, n_head=nh, scale=scale, causal=causal, interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
