@@ -30,6 +30,11 @@ def main(argv=None) -> int:
     p.add_argument("-o", "--output", default=None, help="write results to file")
     p.add_argument("--all-images", action="store_true",
                    help="score remainder images too (reference drops them)")
+    p.add_argument("--templates", default=None,
+                   help="prompt-template ensembling: 'basic' (7 prompts), "
+                        "'openai' (the 80 CLIP-paper prompts), or a custom "
+                        "template containing {}. Default: none "
+                        "(reference-protocol parity)")
     args = p.parse_args(argv)
 
     fout = open(args.output, "w") if args.output else sys.stdout
@@ -43,7 +48,7 @@ def main(argv=None) -> int:
     labels = list(classes.keys())
 
     t0 = time.perf_counter()
-    txt_vecs = engine.encode_text(labels, normalize=True)
+    txt_vecs = engine.encode_class_names(labels, templates=args.templates)
     text_ms = (time.perf_counter() - t0) * 1000.0
 
     fout.write("| class name           | acc@1  | acc@5  |\n")

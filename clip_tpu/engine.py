@@ -375,6 +375,28 @@ class ClipEngine:
             return pmesh.shard_batch(jnp.asarray(x), self.mesh)
         return jnp.asarray(x)
 
+    def encode_class_names(self, names, *, templates=None) -> np.ndarray:
+        """Class-name text embeddings for zero-shot classification.
+
+        ``templates=None`` reproduces the reference protocol exactly (raw
+        class names, /root/reference/tests/benchmark.cpp:65-74).  Otherwise
+        each class is encoded through every template ('a photo of a {}.',
+        ...), per-prompt embeddings are L2-normalized, averaged, and the
+        ensemble is re-normalized — the CLIP-paper recipe the reference
+        admits it lacks (tests/README.md:15).  Returns normalized [C, D].
+        """
+        from .templates import resolve_templates
+
+        names = list(names)
+        tpl = resolve_templates(templates)
+        if tpl is None:
+            return self.encode_text(names, normalize=True)
+        prompts = [t.format(n) for n in names for t in tpl]
+        vecs = self.encode_text(prompts, normalize=True)
+        vecs = vecs.reshape(len(names), len(tpl), -1).mean(axis=1)
+        vecs /= np.linalg.norm(vecs, axis=-1, keepdims=True)
+        return vecs.astype(np.float32)
+
     # -- high-level utilities (clip.h parity) ---------------------------------
 
     def compare_text_and_image(self, text: str, image) -> float:
@@ -385,16 +407,23 @@ class ClipEngine:
         return similarity_score(tvec, ivec)
 
     def zero_shot_label_image(
-        self, image, labels: Sequence[str]
+        self, image, labels: Sequence[str], *, templates=None
     ) -> tuple[np.ndarray, np.ndarray]:
         """HF-pipeline-parity zero-shot labeling: *unnormalized* embeddings,
         softmax over raw dot products (/root/reference/clip.cpp:1624-1659).
+        With ``templates``, labels are prompt-ensembled (normalized, scaled
+        by 100 like CLIP's logit scale so the softmax stays meaningful).
         Returns (sorted_scores, indices into labels)."""
         if len(labels) < 2:
             raise ValueError("zero-shot labeling needs at least 2 labels")
-        ivec = self.encode_image(image, normalize=False)
-        tvecs = self.encode_text(list(labels), normalize=False)
-        sims = tvecs @ ivec
+        if templates is None:
+            ivec = self.encode_image(image, normalize=False)
+            tvecs = self.encode_text(list(labels), normalize=False)
+            sims = tvecs @ ivec
+        else:
+            ivec = self.encode_image(image, normalize=True)
+            tvecs = self.encode_class_names(labels, templates=templates)
+            sims = 100.0 * (tvecs @ ivec)
         return softmax_with_sorting(sims)
 
     def close(self) -> None:

@@ -112,3 +112,30 @@ def test_thread_safety(engine):
     base = [engine.encode_text(f"tok{i % 5}") for i in range(8)]
     for a, b in zip(outs, base):
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_encode_class_names_templates(engine):
+    from clip_tpu.templates import resolve_templates
+
+    names = ["cat", "dog"]
+    plain = engine.encode_class_names(names)
+    ens = engine.encode_class_names(names, templates="basic")
+    assert ens.shape == plain.shape
+    # ensembled embeddings are L2-normalized
+    assert np.allclose(np.linalg.norm(ens, axis=-1), 1.0, atol=1e-5)
+    # plain path == reference protocol (raw class names, normalized)
+    assert np.allclose(plain, engine.encode_text(names, normalize=True), atol=1e-6)
+    # custom single template
+    one = engine.encode_class_names(names, templates="a photo of a {}.")
+    assert one.shape == plain.shape
+    # bad templates rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        resolve_templates("no placeholder here")
+
+
+def test_zsl_with_templates(engine, rng):
+    img = (rng.random((64, 80, 3)) * 255).astype(np.uint8)
+    scores, idx = engine.zero_shot_label_image(img, ["a", "b", "c"], templates="basic")
+    assert len(scores) == 3 and abs(float(scores.sum()) - 1.0) < 1e-3
+    assert sorted(idx.tolist()) == [0, 1, 2]
