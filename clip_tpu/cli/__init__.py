@@ -50,7 +50,13 @@ def dispatch(argv=None) -> int:
         print(f"unknown command {cmd!r}; try --help", file=sys.stderr)
         return 2
     mod = importlib.import_module(_COMMANDS[cmd][0])
-    return mod.main(argv[1:])
+    try:
+        return mod.main(argv[1:])
+    except (ValueError, FileNotFoundError, IsADirectoryError) as e:
+        # expected user errors (bad model file, bad flag value, missing path):
+        # one clean line, no traceback — mirrors the reference CLIs' behavior
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
 
 def run() -> None:

@@ -120,7 +120,12 @@ class GGUFReader:
         self._f: BinaryIO = open(self.path, "rb")
         self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
         self._pos = 0
-        self._parse()
+        try:
+            self._parse()
+        except (struct.error, IndexError, UnicodeDecodeError) as e:
+            raise ValueError(
+                f"{self.path}: truncated or corrupt GGUF "
+                f"(parse failed at byte {self._pos}: {e})") from e
 
     # -- low-level readers --------------------------------------------------
 
@@ -192,6 +197,17 @@ class GGUFReader:
         self.alignment = int(self.kv.get(KEY_ALIGNMENT, GGUF_DEFAULT_ALIGNMENT))
         pad = -self._pos % self.alignment
         self.data_offset = self._pos + pad
+
+        # every tensor's blob must lie inside the file — catches truncation
+        # that leaves the (small, front-loaded) metadata intact
+        fsize = len(self._mm)
+        for info in order:
+            end = self.data_offset + info.offset + info.nbytes
+            if end > fsize:
+                raise ValueError(
+                    f"{self.path}: truncated or corrupt GGUF (tensor "
+                    f"{info.name!r} extends to byte {end} of a {fsize}-byte "
+                    f"file)")
 
     # -- tensor access ------------------------------------------------------
 

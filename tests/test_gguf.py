@@ -92,3 +92,17 @@ def test_copy_kv(tmp_path):
         assert r2.kv["general.description"] == "unit-test model"
         assert r2.kv["general.quantization_version"] == 2
         assert r2.kv["tokenizer.ggml.tokens"] == ["a</w>", "b</w>", "<|endoftext|>"]
+
+
+def test_reader_rejects_truncated_file(tmp_path):
+    import pytest
+    from clip_tpu.gguf import GGUFReader
+    from clip_tpu.synth import make_synthetic_gguf
+
+    full = tmp_path / "full.gguf"
+    make_synthetic_gguf(str(full), "ViT-B/32", ftype="f16", towers="text")
+    data = full.read_bytes()
+    trunc = tmp_path / "trunc.gguf"
+    trunc.write_bytes(data[: len(data) // 50])
+    with pytest.raises(ValueError, match="truncated or corrupt"):
+        GGUFReader(str(trunc))
