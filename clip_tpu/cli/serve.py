@@ -18,6 +18,12 @@ import json
 import sys
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+
+class _Server(ThreadingHTTPServer):
+    # the stdlib default backlog of 5 RSTs bursts of concurrent clients
+    request_queue_size = 128
+    daemon_threads = True
+
 import numpy as np
 
 from ..engine import ClipEngine, softmax_with_sorting
@@ -93,6 +99,23 @@ def make_handler(engine: ClipEngine, batcher: ContinuousBatcher, timeout_s: floa
     return Handler
 
 
+def _warmup(engine: ClipEngine, max_batch: int) -> None:
+    import numpy as np
+    import time as _time
+
+    size = engine.image_size if engine.config.has_vision else 0
+    b = 1
+    while b <= max_batch:
+        t0 = _time.perf_counter()
+        if engine.config.has_vision:
+            engine.encode_image(np.zeros((b, size, size, 3), np.float32))
+        if engine.config.has_text:
+            engine.encode_text(["warmup"] * b)
+        print(f"warmup: bucket {b} compiled in {_time.perf_counter()-t0:.1f}s",
+              file=sys.stderr, flush=True)
+        b *= 2
+
+
 def main(argv=None) -> int:
     p = base_parser("clip-tpu-serve", __doc__, needs_text=False, needs_image=False)
     p.add_argument("--host", default="127.0.0.1")
@@ -105,11 +128,22 @@ def main(argv=None) -> int:
     p.add_argument("--unroll", action="store_true",
                    help="unroll the layer stack: slower first compile, "
                         "slightly faster steady-state throughput")
+    p.add_argument("--device-preprocess", action="store_true",
+                   help="fused uint8 on-device preprocessing (compiles per "
+                        "input geometry — only for fixed-size clients)")
+    p.add_argument("--warmup", action="store_true",
+                   help="precompile every batch bucket up to --max-batch at "
+                        "startup so no request ever waits on XLA")
     args = p.parse_args(argv)
 
     engine = ClipEngine(args.model, verbosity=args.verbosity, unroll=args.unroll)
-    with ContinuousBatcher(engine, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms) as batcher:
-        server = ThreadingHTTPServer((args.host, args.port), make_handler(engine, batcher, args.request_timeout))
+    with ContinuousBatcher(engine, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+                           device_preprocess=args.device_preprocess) as batcher:
+        # bind before warmup: fail fast on a busy port instead of after
+        # minutes of compilation
+        server = _Server((args.host, args.port), make_handler(engine, batcher, args.request_timeout))
+        if args.warmup:
+            _warmup(engine, args.max_batch)
         print(f"serving {args.model} on http://{args.host}:{args.port}", file=sys.stderr)
         try:
             server.serve_forever()

@@ -107,7 +107,12 @@ class _Lane:
 class ContinuousBatcher:
     """Queue-and-batch front end over a :class:`~clip_tpu.engine.ClipEngine`."""
 
-    def __init__(self, engine, max_batch: int = 64, max_wait_ms: float = 5.0):
+    def __init__(self, engine, max_batch: int = 64, max_wait_ms: float = 5.0,
+                 device_preprocess: bool = False):
+        # device_preprocess=False: serving clients send arbitrary image
+        # geometries, and the fused uint8 device path jit-compiles per
+        # geometry — an unbounded compile surface.  Host preprocessing maps
+        # everything onto the per-bucket programs that --warmup precompiles.
         self.engine = engine
         self._lanes: dict[str, _Lane] = {}
         if engine.config.has_text:
@@ -120,7 +125,9 @@ class ContinuousBatcher:
         if engine.config.has_vision:
             self._lanes["image"] = _Lane(
                 "image",
-                lambda payloads, normalize: engine.encode_image(payloads, normalize=normalize),
+                lambda payloads, normalize: engine.encode_image(
+                    payloads, normalize=normalize,
+                    device_preprocess=device_preprocess),
                 max_batch,
                 max_wait_ms,
             )
