@@ -18,17 +18,16 @@ import json
 import sys
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-
-class _Server(ThreadingHTTPServer):
-    # the stdlib default backlog of 5 RSTs bursts of concurrent clients
-    request_queue_size = 128
-    daemon_threads = True
-
 import numpy as np
 
 from ..engine import ClipEngine, softmax_with_sorting
 from ..serving import ContinuousBatcher
 from .common import base_parser
+
+
+class _Server(ThreadingHTTPServer):
+    # the stdlib default backlog of 5 RSTs bursts of concurrent clients
+    request_queue_size = 128
 
 
 def _decode_image(b64: str) -> np.ndarray:
@@ -100,20 +99,31 @@ def make_handler(engine: ClipEngine, batcher: ContinuousBatcher, timeout_s: floa
 
 
 def _warmup(engine: ClipEngine, max_batch: int) -> None:
-    import numpy as np
+    """Precompile every (bucket, normalize) program a request could hit:
+    powers of two up to max_batch plus the bucket max_batch itself rounds to
+    (non-power-of-two --max-batch), for both normalize variants (/v1/zsl
+    uses normalize=False)."""
     import time as _time
 
     size = engine.image_size if engine.config.has_vision else 0
+    buckets = []
     b = 1
     while b <= max_batch:
+        buckets.append(b)
+        b *= 2
+    top = engine._bucket(max_batch)
+    if top not in buckets:
+        buckets.append(top)
+    for b in buckets:
         t0 = _time.perf_counter()
-        if engine.config.has_vision:
-            engine.encode_image(np.zeros((b, size, size, 3), np.float32))
-        if engine.config.has_text:
-            engine.encode_text(["warmup"] * b)
+        for normalize in (True, False):
+            if engine.config.has_vision:
+                engine.encode_image(np.zeros((b, size, size, 3), np.float32),
+                                    normalize=normalize)
+            if engine.config.has_text:
+                engine.encode_text(["warmup"] * b, normalize=normalize)
         print(f"warmup: bucket {b} compiled in {_time.perf_counter()-t0:.1f}s",
               file=sys.stderr, flush=True)
-        b *= 2
 
 
 def main(argv=None) -> int:
@@ -143,6 +153,11 @@ def main(argv=None) -> int:
         # minutes of compilation
         server = _Server((args.host, args.port), make_handler(engine, batcher, args.request_timeout))
         if args.warmup:
+            if args.device_preprocess:
+                print("warning: --warmup cannot precompile the "
+                      "--device-preprocess image path (it compiles per "
+                      "client image geometry); only text and the host-"
+                      "preprocess fallback are warmed", file=sys.stderr)
             _warmup(engine, args.max_batch)
         print(f"serving {args.model} on http://{args.host}:{args.port}", file=sys.stderr)
         try:
