@@ -38,6 +38,14 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     fout = open(args.output, "w") if args.output else sys.stdout
+    try:
+        return _run(args, fout)
+    finally:
+        if fout is not sys.stdout:
+            fout.close()
+
+
+def _run(args, fout) -> int:
     classes = get_dir_keyed_files(args.dataset)
     n_labels = len(classes)
     fout.write(f"benchmark: {n_labels} directories found in {args.dataset}\n\n")
@@ -95,8 +103,6 @@ def main(argv=None) -> int:
     if n_total:
         fout.write(f"- {n_total} images encoded in {image_ms:8.2f} ms "
                    f"({image_ms/n_total:8.2f} ms per image)\n")
-    if fout is not sys.stdout:
-        fout.close()
     return 0
 
 

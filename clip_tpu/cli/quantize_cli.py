@@ -26,7 +26,8 @@ def main(argv=None) -> int:
 
     itype = int(args.type) if args.type.isdigit() else args.type
     report = quantize_model(args.input, args.output, itype, verbose=not args.quiet)
-    print(report.summary())
+    if args.quiet:
+        print(report.summary())  # verbose mode already printed it
     print(f"done in {report.elapsed_s:.2f}s -> {args.output}")
     return 0
 

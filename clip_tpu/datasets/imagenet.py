@@ -43,8 +43,12 @@ def _fetch(url: str, dest: Path, verbose: bool) -> None:
         return
     if verbose:
         print(f"downloading {url} -> {dest}")
-    with urllib.request.urlopen(url) as resp, open(dest, "wb") as f:
+    # atomic: an interrupted multi-GB download must not leave a truncated
+    # file that a rerun mistakes for complete (same pattern as hub.py)
+    part = dest.with_suffix(dest.suffix + ".part")
+    with urllib.request.urlopen(url) as resp, open(part, "wb") as f:
         shutil.copyfileobj(resp, f)
+    os.replace(part, dest)
 
 
 def fix_classnames(classnames: list[str]) -> list[str]:
@@ -58,16 +62,27 @@ def fix_classnames(classnames: list[str]) -> list[str]:
 
 def download_metadata(path: Path, verbose: bool = False) -> None:
     path.mkdir(parents=True, exist_ok=True)
+    # fetch to a raw name, rewrite to the final name atomically: dying
+    # between fetch and rewrite must not leave the unprocessed multi-dataset
+    # JSON under the processed filename
     tmpl = path / CLASSTEMPLATES_FILENAME
     if not tmpl.exists():
-        _fetch(LAION_BASE + "en_zeroshot_classification_templates.json", tmpl, verbose)
-        data = json.loads(tmpl.read_text())["imagenet1k"]
-        tmpl.write_text(json.dumps(data, indent=2))
+        raw = tmpl.with_suffix(".raw.json")
+        _fetch(LAION_BASE + "en_zeroshot_classification_templates.json", raw, verbose)
+        data = json.loads(raw.read_text())["imagenet1k"]
+        tmp = tmpl.with_suffix(".tmp")
+        tmp.write_text(json.dumps(data, indent=2))
+        os.replace(tmp, tmpl)
+        raw.unlink()
     names = path / CLASSNAMES_FILENAME
     if not names.exists():
-        _fetch(LAION_BASE + "en_classnames.json", names, verbose)
-        data = fix_classnames(json.loads(names.read_text())["imagenet1k"])
-        names.write_text(json.dumps(data, indent=2))
+        raw = names.with_suffix(".raw.json")
+        _fetch(LAION_BASE + "en_classnames.json", raw, verbose)
+        data = fix_classnames(json.loads(raw.read_text())["imagenet1k"])
+        tmp = names.with_suffix(".tmp")
+        tmp.write_text(json.dumps(data, indent=2))
+        os.replace(tmp, names)
+        raw.unlink()
 
 
 def download_dataset(path: Path, verbose: bool = False) -> None:

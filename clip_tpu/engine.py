@@ -23,6 +23,7 @@ TPU-first mechanics:
 from __future__ import annotations
 
 import functools
+import numbers
 from typing import Sequence
 
 import jax
@@ -293,7 +294,8 @@ class ClipEngine:
         Returns [D] for a single input, [B, D] for a batch.
         """
         single = isinstance(texts, str) or (
-            isinstance(texts, (list, tuple)) and texts and isinstance(texts[0], int)
+            isinstance(texts, (list, tuple)) and texts
+            and isinstance(texts[0], numbers.Integral)
         )
         if single:
             texts = [texts]
@@ -392,7 +394,14 @@ class ClipEngine:
         if tpl is None:
             return self.encode_text(names, normalize=True)
         prompts = [t.format(n) for n in names for t in tpl]
-        vecs = self.encode_text(prompts, normalize=True)
+        # chunk: ImageNet-scale ensembles (1000 classes x 80 templates) must
+        # not become one 80k-row jit batch (HBM blow-up + per-count recompile)
+        chunk = 1024
+        parts = [
+            self.encode_text(prompts[i:i + chunk], normalize=True)
+            for i in range(0, len(prompts), chunk)
+        ]
+        vecs = np.concatenate(parts, axis=0)
         vecs = vecs.reshape(len(names), len(tpl), -1).mean(axis=1)
         vecs /= np.linalg.norm(vecs, axis=-1, keepdims=True)
         return vecs.astype(np.float32)

@@ -16,6 +16,7 @@ from typing import Any, Sequence
 import numpy as np
 
 from .constants import (
+    KEY_ALIGNMENT,
     GGUF_DEFAULT_ALIGNMENT,
     GGUF_MAGIC,
     GGUF_VERSION,
@@ -191,6 +192,12 @@ class GGUFWriter:
     # -- output -------------------------------------------------------------
 
     def write(self) -> str:
+        # a non-default alignment must be recorded in the file or readers
+        # will compute wrong tensor offsets (silent corruption)
+        if self.alignment != GGUF_DEFAULT_ALIGNMENT and not any(
+            k == KEY_ALIGNMENT for k, _, _ in self._kv
+        ):
+            self.add_uint32(KEY_ALIGNMENT, self.alignment)
         header = [
             GGUF_MAGIC,
             struct.pack("<IQQ", GGUF_VERSION, len(self._tensors), len(self._kv)),

@@ -14,6 +14,7 @@ import json
 import os
 import sys
 import urllib.error
+import urllib.parse
 import urllib.request
 from dataclasses import dataclass, field
 
@@ -69,8 +70,11 @@ def _api_get(url: str) -> dict:
         raise
 
 
-def model_info(repo_id: str, files_metadata: bool = True) -> ModelInfo:
+def model_info(repo_id: str, files_metadata: bool = True,
+               revision: str | None = None) -> ModelInfo:
     url = f"{HF_ENDPOINT}/api/models/{repo_id}"
+    if revision and revision != "main":
+        url += f"/revision/{urllib.parse.quote(revision, safe='')}"
     if files_metadata:
         url += "?blobs=true"
     data = _api_get(url)
@@ -124,12 +128,15 @@ def model_download(
     revision: str = "main",
     force: bool = False,
 ) -> str:
-    """Download a model file, returning the local path (cached by repo/sha)."""
-    info = model_info(repo_id)
+    """Download a model file, returning the local path (cached by
+    repo/revision-sha, so distinct revisions never collide)."""
+    info = model_info(repo_id, revision=revision)
     chosen = select_gguf(info, file_name)
     subdir = repo_id.replace("/", "--")
     if info.sha:
         subdir = f"{subdir}--{info.sha[:12]}"
+    elif revision != "main":
+        subdir = f"{subdir}--{revision.replace('/', '-')}"
     local_dir = os.path.join(cache_dir, subdir)
     os.makedirs(local_dir, exist_ok=True)
     local_path = os.path.join(local_dir, chosen.rfilename)

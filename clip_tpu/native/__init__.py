@@ -41,7 +41,13 @@ def load() -> "ctypes.CDLL | None":
     global _lib
     with _lock:
         if _lib is None:
-            if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            if not os.path.exists(_SRC):
+                # source missing from a stripped install: use the prebuilt
+                # .so if one exists, else fall back to the numpy path
+                if not os.path.exists(_LIB):
+                    _lib = False
+                    return None
+            elif not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
                 if not _build():
                     _lib = False
                     return None

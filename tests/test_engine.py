@@ -139,3 +139,10 @@ def test_zsl_with_templates(engine, rng):
     scores, idx = engine.zero_shot_label_image(img, ["a", "b", "c"], templates="basic")
     assert len(scores) == 3 and abs(float(scores.sum()) - 1.0) < 1e-3
     assert sorted(idx.tolist()) == [0, 1, 2]
+
+
+def test_encode_text_numpy_token_ids(engine):
+    ids = engine.tokenize("hello world")
+    a = engine.encode_text(ids)
+    b = engine.encode_text(list(np.asarray(ids, np.int32)))  # numpy ints
+    np.testing.assert_array_equal(a, b)

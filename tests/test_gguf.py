@@ -106,3 +106,19 @@ def test_reader_rejects_truncated_file(tmp_path):
     trunc.write_bytes(data[: len(data) // 50])
     with pytest.raises(ValueError, match="truncated or corrupt"):
         GGUFReader(str(trunc))
+
+
+def test_writer_records_nondefault_alignment(tmp_path):
+    import numpy as np
+    from clip_tpu.gguf import GGUFReader
+    from clip_tpu.gguf.writer import GGUFWriter
+
+    path = tmp_path / "a64.gguf"
+    w = GGUFWriter(str(path), alignment=64)
+    w.add_string("general.name", "t")
+    a = np.arange(12, dtype=np.float32).reshape(3, 4)
+    w.add_tensor("a", a)
+    w.write()
+    r = GGUFReader(str(path))
+    assert r.alignment == 64
+    np.testing.assert_array_equal(r.tensor_data("a"), a)
