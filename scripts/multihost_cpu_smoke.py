@@ -1,0 +1,118 @@
+"""Two-process multi-host smoke test on CPU.
+
+Validates the real ``jax.distributed`` path (coordinator handshake, global
+device view, cross-process collective, per-host batch slicing) that the
+virtual 8-device single-process mesh in tests/ cannot exercise.
+
+Run:  python scripts/multihost_cpu_smoke.py            (launches both ranks)
+      python scripts/multihost_cpu_smoke.py --rank N   (one rank, internal)
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+PORT = 18977
+N_PROC = 2
+
+
+def rank_main(rank: int) -> None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from clip_tpu.parallel import distributed
+
+    distributed.initialize(f"127.0.0.1:{PORT}", num_processes=N_PROC, process_id=rank)
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    assert jax.process_count() == N_PROC, jax.process_count()
+    n_global = len(jax.devices())
+    assert n_global == N_PROC * 2, n_global  # 2 local devices per process
+
+    mesh = Mesh(np.array(jax.devices()).reshape(n_global), ("data",))
+    sl = distributed.host_local_batch_slice(8)
+    assert sl == slice(rank * 4, rank * 4 + 4), sl
+
+    # global array from per-host shards + a cross-process collective
+    local = np.full((4, 16), float(rank + 1), np.float32)
+    sharding = NamedSharding(mesh, P("data"))
+    garr = jax.make_array_from_process_local_data(sharding, local, (8, 16))
+
+    @jax.jit
+    def total(x):
+        return jnp.sum(x)
+
+    out = float(total(garr))
+    expected = 4 * 16 * 1.0 + 4 * 16 * 2.0
+    assert out == expected, (out, expected)
+
+    # full sharded vision encode across processes: every host loads the same
+    # checkpoint, weights are sharded over the global mesh, each host feeds
+    # its slice of the global pixel batch
+    import functools
+
+    from clip_tpu.gguf import GGUFReader
+    from clip_tpu.models.config import ClipConfig
+    from clip_tpu.models.params import load_params
+    from clip_tpu.models.vision import encode_image
+    from clip_tpu.parallel import make_mesh, shard_params
+
+    model = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         ".cache", "entry_vit-b-32_q4_0_both.gguf")
+    if not os.path.exists(model):
+        from clip_tpu.synth import make_synthetic_gguf
+        if rank == 0:
+            make_synthetic_gguf(model, "ViT-B/32", ftype="q4_0", towers="both")
+    reader = GGUFReader(model)
+    cfg = ClipConfig.from_gguf(reader)
+    gmesh = make_mesh(n_global, 1)  # 4-way DP over the global device view
+    params = shard_params(
+        load_params(reader, cfg, keep_quantized=True, dtype=jnp.float32), gmesh)
+
+    rng = np.random.default_rng(0)
+    gpix = rng.normal(size=(8, 224, 224, 3)).astype(np.float32)  # global batch
+    px_shard = NamedSharding(gmesh, P("data"))
+    pixels = jax.make_array_from_process_local_data(px_shard, gpix[sl], (8, 224, 224, 3))
+
+    fn = jax.jit(functools.partial(
+        encode_image, cfg=cfg.vision, use_gelu=cfg.use_gelu, normalize=True))
+    from jax.experimental import multihost_utils
+
+    out_g = fn(params["vision"], pixels=pixels)   # sharded global [8, D]
+    emb = np.asarray(multihost_utils.process_allgather(out_g, tiled=True))
+    ref_path = "/tmp/multihost_ref_emb.npy"
+    if rank == 0:
+        np.save(ref_path, emb)
+    print(f"rank {rank}: process_count={jax.process_count()} "
+          f"devices={n_global} global_sum={out} encode={emb.shape} OK", flush=True)
+
+
+def main() -> int:
+    if "--rank" in sys.argv:
+        rank_main(int(sys.argv[sys.argv.index("--rank") + 1]))
+        return 0
+    procs = [
+        subprocess.Popen([sys.executable, os.path.abspath(__file__), "--rank", str(r)])
+        for r in range(N_PROC)
+    ]
+    codes = [p.wait(timeout=300) for p in procs]
+    if any(codes):
+        print(f"FAILED: exit codes {codes}", file=sys.stderr)
+        return 1
+    print("multihost_cpu_smoke: OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
