@@ -76,14 +76,22 @@ def rank_main(rank: int) -> None:
             make_synthetic_gguf(model, "ViT-B/32", ftype="q4_0", towers="both")
     reader = GGUFReader(model)
     cfg = ClipConfig.from_gguf(reader)
-    gmesh = make_mesh(n_global, 1)  # 4-way DP over the global device view
+    # 2-way DP x 2-way TP with the model axis spanning BOTH processes
+    # (device grid transposed), so attention/MLP weight shards live on
+    # different hosts and XLA inserts cross-process collectives inside the
+    # towers — the hardest layout to get right
+    grid = np.array(jax.devices()).reshape(2, 2).T
+    gmesh = Mesh(grid, ("data", "model"))
     params = shard_params(
         load_params(reader, cfg, keep_quantized=True, dtype=jnp.float32), gmesh)
 
     rng = np.random.default_rng(0)
     gpix = rng.normal(size=(8, 224, 224, 3)).astype(np.float32)  # global batch
     px_shard = NamedSharding(gmesh, P("data"))
-    pixels = jax.make_array_from_process_local_data(px_shard, gpix[sl], (8, 224, 224, 3))
+    # with TP spanning processes, every host addresses a model-shard of every
+    # data shard, so each host supplies the full batch (the API slices out
+    # the locally-addressable pieces)
+    pixels = jax.make_array_from_process_local_data(px_shard, gpix, (8, 224, 224, 3))
 
     fn = jax.jit(functools.partial(
         encode_image, cfg=cfg.vision, use_gelu=cfg.use_gelu, normalize=True))
