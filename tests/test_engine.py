@@ -146,3 +146,15 @@ def test_encode_text_numpy_token_ids(engine):
     a = engine.encode_text(ids)
     b = engine.encode_text(list(np.asarray(ids, np.int32)))  # numpy ints
     np.testing.assert_array_equal(a, b)
+
+
+def test_encode_determinism(engine, rng):
+    """SURVEY §5: determinism checks take the role of the reference's
+    sanitizers — identical inputs must produce bitwise-identical outputs."""
+    img = (rng.random((100, 120, 3)) * 255).astype(np.uint8)
+    a1 = engine.encode_image([img])
+    a2 = engine.encode_image([img])
+    np.testing.assert_array_equal(a1, a2)
+    t1 = engine.encode_text(["determinism check"])
+    t2 = engine.encode_text(["determinism check"])
+    np.testing.assert_array_equal(t1, t2)
