@@ -299,6 +299,12 @@ class ClipEngine:
         )
         if single:
             texts = [texts]
+        if len(texts) > _BUCKETS[-1]:
+            parts = [
+                self.encode_text(list(texts[i:i + _BUCKETS[-1]]), normalize=normalize)
+                for i in range(0, len(texts), _BUCKETS[-1])
+            ]
+            return np.concatenate(parts, axis=0)
         n_pos = self.config.text.num_positions
         ids_list = [
             self.tokenize(t) if isinstance(t, str) else list(t) for t in texts
@@ -336,6 +342,18 @@ class ClipEngine:
         )
         if single:
             images = [images]
+        # bound memory and jit-shape growth: very large requests run as
+        # max-bucket chunks (the indexer/benchmark protocol batch loop,
+        # generalized to every entry point)
+        n_in = images.shape[0] if isinstance(images, np.ndarray) else len(images)
+        if n_in > _BUCKETS[-1]:
+            parts = [
+                self.encode_image(
+                    images[i:i + _BUCKETS[-1]], normalize=normalize,
+                    preprocessed=preprocessed, device_preprocess=device_preprocess)
+                for i in range(0, n_in, _BUCKETS[-1])
+            ]
+            return np.concatenate(parts, axis=0)
         if isinstance(images, np.ndarray) and images.ndim == 4 and images.dtype != np.uint8:
             pixels = np.asarray(images, np.float32)
         else:

@@ -158,3 +158,24 @@ def test_encode_determinism(engine, rng):
     t1 = engine.encode_text(["determinism check"])
     t2 = engine.encode_text(["determinism check"])
     np.testing.assert_array_equal(t1, t2)
+
+
+def test_large_batch_chunks(engine, rng):
+    """Requests beyond the largest bucket are processed in chunks, not as one
+    giant jit shape."""
+    import clip_tpu.engine as E
+    old = E._BUCKETS
+    E._BUCKETS = (1, 2, 4)  # shrink so the chunk path triggers cheaply
+    try:
+        texts = [f"t{i}" for i in range(11)]
+        out = engine.encode_text(texts)
+        assert out.shape[0] == 11
+        ref = np.concatenate([engine.encode_text(texts[:4]),
+                              engine.encode_text(texts[4:8]),
+                              engine.encode_text(texts[8:])])
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+        imgs = [(rng.random((40, 50, 3)) * 255).astype(np.uint8)] * 5
+        iout = engine.encode_image(imgs)
+        assert iout.shape[0] == 5
+    finally:
+        E._BUCKETS = old
