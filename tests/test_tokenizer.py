@@ -78,3 +78,26 @@ def test_pad():
 def test_default_special_ids():
     t = ClipTokenizer(["x</w>"])
     assert t.encode("x") == [BOS_TOKEN_ID, 0, EOS_TOKEN_ID]
+
+
+def test_fuzz_invariants():
+    """Property fuzz: for arbitrary (incl. garbage) input the tokenizer must
+    return in-range ids, start with BOS, end with EOS, and respect max_len."""
+    import numpy as np
+
+    from clip_tpu.tokenizer import ClipTokenizer
+
+    vocab = ["<start>", "<end>", "a", "b", "ab</w>", "a</w>", "b</w>", "c</w>",
+             " ", "!", "!</w>", "xyz</w>", "x", "y", "z</w>"]
+    tok = ClipTokenizer(vocab, bos_id=0, eos_id=1)
+    rng = np.random.default_rng(7)
+    alphabet = list("abcxyz !?\t\né中") + ["\U0001F600"]
+    for _ in range(300):
+        n = int(rng.integers(0, 40))
+        s = "".join(rng.choice(alphabet) for _ in range(n))
+        ids = tok.encode(s, max_len=16)
+        assert ids[0] == 0 and ids[-1] == 1, (s, ids)
+        assert len(ids) <= 16, (s, ids)
+        assert all(0 <= i < len(vocab) for i in ids), (s, ids)
+        # determinism
+        assert ids == tok.encode(s, max_len=16)
