@@ -4,7 +4,11 @@ effectiveness, stats, shutdown."""
 import concurrent.futures
 import threading
 
+import jax
 import numpy as np
+
+ON_TPU = jax.default_backend() == "tpu"
+TOL = dict(atol=4e-3) if ON_TPU else dict(atol=1e-6)
 import pytest
 
 from clip_tpu import ClipEngine
@@ -25,12 +29,12 @@ def test_single_requests_match_engine(engine):
     with ContinuousBatcher(engine, max_batch=8, max_wait_ms=2) as b:
         v = b.encode_text("tok1 tok2")
         ref = engine.encode_text("tok1 tok2")
-        np.testing.assert_allclose(v, ref, atol=1e-6)
+        np.testing.assert_allclose(v, ref, **TOL)
 
         img = engine.load_image(APPLE)
         vi = b.encode_image(img)
         refi = engine.encode_image(img)
-        np.testing.assert_allclose(vi, refi, atol=1e-6)
+        np.testing.assert_allclose(vi, refi, **TOL)
 
 
 def test_concurrent_requests_are_batched(engine):
@@ -49,7 +53,7 @@ def test_concurrent_requests_are_batched(engine):
 
         refs = [engine.encode_text(f"tok{i}") for i in range(8)]
         for o, r in zip(outs, refs):
-            np.testing.assert_allclose(o, r, atol=1e-6)
+            np.testing.assert_allclose(o, r, **TOL)
         stats = b.stats["text"]
         assert stats["requests"] == 8
         assert stats["batches"] < 8, f"no batching happened: {stats}"
@@ -60,7 +64,7 @@ def test_mixed_normalize_flags(engine):
         f1 = b.submit_text("tok1", normalize=True)
         f2 = b.submit_text("tok1", normalize=False)
         v1, v2 = f1.result(60), f2.result(60)
-        assert abs(np.linalg.norm(v1) - 1.0) < 1e-5
+        assert abs(np.linalg.norm(v1) - 1.0) < (4e-3 if ON_TPU else 1e-5)
         assert abs(np.linalg.norm(v2) - 1.0) > 1e-3
 
 
