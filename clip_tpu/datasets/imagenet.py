@@ -65,24 +65,29 @@ def download_metadata(path: Path, verbose: bool = False) -> None:
     # fetch to a raw name, rewrite to the final name atomically: dying
     # between fetch and rewrite must not leave the unprocessed multi-dataset
     # JSON under the processed filename
-    tmpl = path / CLASSTEMPLATES_FILENAME
-    if not tmpl.exists():
-        raw = tmpl.with_suffix(".raw.json")
-        _fetch(LAION_BASE + "en_zeroshot_classification_templates.json", raw, verbose)
-        data = json.loads(raw.read_text())["imagenet1k"]
-        tmp = tmpl.with_suffix(".tmp")
-        tmp.write_text(json.dumps(data, indent=2))
-        os.replace(tmp, tmpl)
-        raw.unlink()
-    names = path / CLASSNAMES_FILENAME
-    if not names.exists():
-        raw = names.with_suffix(".raw.json")
-        _fetch(LAION_BASE + "en_classnames.json", raw, verbose)
-        data = fix_classnames(json.loads(raw.read_text())["imagenet1k"])
-        tmp = names.with_suffix(".tmp")
-        tmp.write_text(json.dumps(data, indent=2))
-        os.replace(tmp, names)
-        raw.unlink()
+    def _fetch_and_process(dest: Path, url: str, process) -> None:
+        if dest.exists():
+            return
+        raw = dest.with_suffix(".raw.json")
+        try:
+            _fetch(url, raw, verbose)
+            data = process(json.loads(raw.read_text()))
+            tmp = dest.with_suffix(".tmp")
+            tmp.write_text(json.dumps(data, indent=2))
+            os.replace(tmp, dest)
+        finally:
+            # never leave a raw file behind: a stale one would be reused by
+            # the exists() check on retries even after an upstream fix
+            raw.unlink(missing_ok=True)
+
+    _fetch_and_process(
+        path / CLASSTEMPLATES_FILENAME,
+        LAION_BASE + "en_zeroshot_classification_templates.json",
+        lambda j: j["imagenet1k"])
+    _fetch_and_process(
+        path / CLASSNAMES_FILENAME,
+        LAION_BASE + "en_classnames.json",
+        lambda j: fix_classnames(j["imagenet1k"]))
 
 
 def download_dataset(path: Path, verbose: bool = False) -> None:

@@ -412,14 +412,9 @@ class ClipEngine:
         if tpl is None:
             return self.encode_text(names, normalize=True)
         prompts = [t.format(n) for n in names for t in tpl]
-        # chunk: ImageNet-scale ensembles (1000 classes x 80 templates) must
-        # not become one 80k-row jit batch (HBM blow-up + per-count recompile)
-        chunk = 1024
-        parts = [
-            self.encode_text(prompts[i:i + chunk], normalize=True)
-            for i in range(0, len(prompts), chunk)
-        ]
-        vecs = np.concatenate(parts, axis=0)
+        # encode_text chunks at the max bucket internally, so ImageNet-scale
+        # ensembles (1000 classes x 80 templates) never become one giant jit
+        vecs = self.encode_text(prompts, normalize=True)
         vecs = vecs.reshape(len(names), len(tpl), -1).mean(axis=1)
         vecs /= np.linalg.norm(vecs, axis=-1, keepdims=True)
         return vecs.astype(np.float32)

@@ -11,14 +11,18 @@ Run:  python scripts/multihost_cpu_smoke.py            (launches both ranks)
 from __future__ import annotations
 
 import os
+import socket
 import subprocess
 import sys
 
-PORT = 18977
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
 N_PROC = 2
+MODEL = os.path.join(_REPO, ".cache", "entry_vit-b-32_q4_0_both.gguf")
 
 
-def rank_main(rank: int) -> None:
+def rank_main(rank: int, port: int) -> None:
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
@@ -30,7 +34,7 @@ def rank_main(rank: int) -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from clip_tpu.parallel import distributed
 
-    distributed.initialize(f"127.0.0.1:{PORT}", num_processes=N_PROC, process_id=rank)
+    distributed.initialize(f"127.0.0.1:{port}", num_processes=N_PROC, process_id=rank)
 
     import jax.numpy as jnp
     import numpy as np
@@ -68,13 +72,8 @@ def rank_main(rank: int) -> None:
     from clip_tpu.models.vision import encode_image
     from clip_tpu.parallel import make_mesh, shard_params
 
-    model = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                         ".cache", "entry_vit-b-32_q4_0_both.gguf")
-    if not os.path.exists(model):
-        from clip_tpu.synth import make_synthetic_gguf
-        if rank == 0:
-            make_synthetic_gguf(model, "ViT-B/32", ftype="q4_0", towers="both")
-    reader = GGUFReader(model)
+    # the launcher creates the checkpoint before spawning ranks (no race)
+    reader = GGUFReader(MODEL)
     cfg = ClipConfig.from_gguf(reader)
     # 2-way DP x 2-way TP with the model axis spanning BOTH processes
     # (device grid transposed), so attention/MLP weight shards live on
@@ -99,24 +98,75 @@ def rank_main(rank: int) -> None:
 
     out_g = fn(params["vision"], pixels=pixels)   # sharded global [8, D]
     emb = np.asarray(multihost_utils.process_allgather(out_g, tiled=True))
-    ref_path = "/tmp/multihost_ref_emb.npy"
     if rank == 0:
-        np.save(ref_path, emb)
+        np.save("/tmp/multihost_emb.npy", emb)
     print(f"rank {rank}: process_count={jax.process_count()} "
           f"devices={n_global} global_sum={out} encode={emb.shape} OK", flush=True)
 
 
+def _single_process_reference() -> "np.ndarray":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import functools
+
+    import jax.numpy as jnp  # noqa: F401
+    import numpy as np
+
+    from clip_tpu.gguf import GGUFReader
+    from clip_tpu.models.config import ClipConfig
+    from clip_tpu.models.params import load_params
+    from clip_tpu.models.vision import encode_image
+
+    reader = GGUFReader(MODEL)
+    cfg = ClipConfig.from_gguf(reader)
+    params = load_params(reader, cfg, keep_quantized=True, dtype=np.float32)["vision"]
+    gpix = np.random.default_rng(0).normal(size=(8, 224, 224, 3)).astype(np.float32)
+    fn = jax.jit(functools.partial(
+        encode_image, cfg=cfg.vision, use_gelu=cfg.use_gelu, normalize=True))
+    return np.asarray(fn(params, pixels=gpix))
+
+
 def main() -> int:
     if "--rank" in sys.argv:
-        rank_main(int(sys.argv[sys.argv.index("--rank") + 1]))
+        rank_main(int(sys.argv[sys.argv.index("--rank") + 1]),
+                  int(sys.argv[sys.argv.index("--port") + 1]))
         return 0
+
+    if not os.path.exists(MODEL):
+        os.makedirs(os.path.dirname(MODEL), exist_ok=True)
+        from clip_tpu.synth import make_synthetic_gguf
+        make_synthetic_gguf(MODEL, "ViT-B/32", ftype="q4_0", towers="both")
+
+    with socket.socket() as s:  # pick a free coordinator port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
     procs = [
-        subprocess.Popen([sys.executable, os.path.abspath(__file__), "--rank", str(r)])
+        subprocess.Popen([sys.executable, os.path.abspath(__file__),
+                          "--rank", str(r), "--port", str(port)])
         for r in range(N_PROC)
     ]
-    codes = [p.wait(timeout=300) for p in procs]
+    try:
+        codes = [p.wait(timeout=300) for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        print("FAILED: rank hang (coordinator handshake or collective stall)",
+              file=sys.stderr)
+        return 1
     if any(codes):
         print(f"FAILED: exit codes {codes}", file=sys.stderr)
+        return 1
+
+    import numpy as np
+    mh = np.load("/tmp/multihost_emb.npy")
+    ref = _single_process_reference()
+    maxdiff = float(np.abs(mh - ref).max())
+    print(f"multihost vs single-process maxdiff: {maxdiff:.2e}")
+    if maxdiff > 5e-6:
+        print("FAILED: multi-host encode diverges from single-process",
+              file=sys.stderr)
         return 1
     print("multihost_cpu_smoke: OK")
     return 0

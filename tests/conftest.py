@@ -49,6 +49,13 @@ def pytest_collection_modifyitems(config, items):
                 item.add_marker(skip)
 
 
+ON_TPU = USE_TPU
+# bf16 compute on TPU: different batch buckets/tilings produce ULP-scale
+# differences vs exact f32 on CPU
+TOL = dict(atol=4e-3) if ON_TPU else dict(atol=1e-6)
+NORM_ATOL = 4e-3 if ON_TPU else 1e-5
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

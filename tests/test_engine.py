@@ -33,9 +33,7 @@ def test_tokenize_truncates_to_context(engine):
     assert len(ids) <= 16
 
 
-ON_TPU = jax.default_backend() == "tpu"
-# bf16 compute on TPU: different batch buckets tile differently -> ULP noise
-TOL = dict(atol=4e-3) if ON_TPU else dict(atol=1e-6)
+from conftest import NORM_ATOL, ON_TPU, TOL
 
 
 def test_encode_text_single_vs_batch(engine):
@@ -76,9 +74,9 @@ def test_encode_image_paths_and_arrays(engine, rng):
 
 def test_normalized_outputs(engine):
     v = engine.encode_text("tok1", normalize=True)
-    assert abs(np.linalg.norm(v) - 1.0) < (4e-3 if ON_TPU else 1e-5)
+    assert abs(np.linalg.norm(v) - 1.0) < NORM_ATOL
     v = engine.encode_image(FIXTURE_APPLE, normalize=True)
-    assert abs(np.linalg.norm(v) - 1.0) < (4e-3 if ON_TPU else 1e-5)
+    assert abs(np.linalg.norm(v) - 1.0) < NORM_ATOL
 
 
 def test_compare_text_and_image(engine):

@@ -7,8 +7,7 @@ import threading
 import jax
 import numpy as np
 
-ON_TPU = jax.default_backend() == "tpu"
-TOL = dict(atol=4e-3) if ON_TPU else dict(atol=1e-6)
+from conftest import NORM_ATOL, ON_TPU, TOL
 import pytest
 
 from clip_tpu import ClipEngine
@@ -64,7 +63,7 @@ def test_mixed_normalize_flags(engine):
         f1 = b.submit_text("tok1", normalize=True)
         f2 = b.submit_text("tok1", normalize=False)
         v1, v2 = f1.result(60), f2.result(60)
-        assert abs(np.linalg.norm(v1) - 1.0) < (4e-3 if ON_TPU else 1e-5)
+        assert abs(np.linalg.norm(v1) - 1.0) < NORM_ATOL
         assert abs(np.linalg.norm(v2) - 1.0) > 1e-3
 
 
