@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 from ..engine import ClipEngine, softmax_with_sorting
-from .common import base_parser, get_dir_keyed_files
+from .common import base_parser, get_dir_keyed_files, prefetch_preprocessed
 
 
 def main(argv=None) -> int:
@@ -71,12 +71,9 @@ def _run(args, fout) -> int:
         if not args.all_images:
             files = files[: (len(files) // bs) * bs]
         n_items = n_acc1 = n_acc5 = 0
-        for i in range(0, len(files), bs):
-            chunk = files[i : i + bs]
-            imgs = [engine.load_image(f) for f in chunk]
-            vecs = engine.encode_image(
-                engine.preprocess(imgs, n_workers=args.threads), normalize=True
-            )
+        chunks = [files[i:i + bs] for i in range(0, len(files), bs)]
+        for _, pixels in prefetch_preprocessed(engine, chunks, n_workers=args.threads):
+            vecs = engine.encode_image(pixels, normalize=True)
             sims = vecs @ txt_vecs.T  # [b, n_labels]
             for row in sims:
                 _, indices = softmax_with_sorting(row)

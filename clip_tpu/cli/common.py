@@ -62,3 +62,38 @@ def get_dir_keyed_files(root: str, max_files_per_dir: int = 0) -> "OrderedDict[s
             key = os.path.basename(root)
         out[key] = [os.path.join(dirpath, f) for f in files]
     return out
+
+
+def prefetch_preprocessed(engine, path_chunks, n_workers: int = 4):
+    """Yield ``(paths, pixels)`` per chunk with the NEXT chunk's load +
+    preprocess overlapped with the caller's device work (one-step-ahead
+    double buffering — the TPU-side analogue of the reference's pthread
+    preprocessing, clip.cpp:963-1008, which overlaps nothing)."""
+    import sys
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load(chunk):
+        imgs, kept = [], []
+        for path in chunk:
+            try:
+                imgs.append(engine.load_image(path))
+                kept.append(path)
+            except Exception as e:  # unreadable image: skip like stbi failure
+                print(f"skipping {path}: {e}", file=sys.stderr)
+        if not imgs:
+            return kept, None
+        return kept, engine.preprocess(imgs, n_workers=n_workers)
+
+    with ThreadPoolExecutor(1) as ex:
+        fut = None
+        for chunk in path_chunks:
+            nxt = ex.submit(load, list(chunk))
+            if fut is not None:
+                kept, px = fut.result()
+                if px is not None:
+                    yield kept, px
+            fut = nxt
+        if fut is not None:
+            kept, px = fut.result()
+            if px is not None:
+                yield kept, px

@@ -13,7 +13,7 @@ import time
 
 from ..engine import ClipEngine
 from ..index import EmbeddingIndex
-from .common import base_parser, get_dir_keyed_files
+from .common import base_parser, get_dir_keyed_files, prefetch_preprocessed
 
 
 def main(argv=None) -> int:
@@ -35,21 +35,9 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     bs = max(args.batch_size, 1)
     done = 0
-    for i in range(0, len(all_paths), bs):
-        chunk = all_paths[i : i + bs]
-        imgs = []
-        kept = []
-        for path in chunk:
-            try:
-                imgs.append(engine.load_image(path))
-                kept.append(path)
-            except Exception as e:  # unreadable image: skip like stbi failure
-                print(f"skipping {path}: {e}", file=sys.stderr)
-        if not imgs:
-            continue
-        vecs = engine.encode_image(
-            engine.preprocess(imgs, n_workers=args.threads), normalize=True
-        )
+    chunks = [all_paths[i:i + bs] for i in range(0, len(all_paths), bs)]
+    for kept, pixels in prefetch_preprocessed(engine, chunks, n_workers=args.threads):
+        vecs = engine.encode_image(pixels, normalize=True)
         index.add(vecs, kept)
         done += len(kept)
         print(f"  {done}/{len(all_paths)}", end="\r", flush=True)
