@@ -9,7 +9,7 @@ test:                ## unit + integration suite on CPU (8 virtual devices)
 	$(PY) -m pytest tests/ -q
 
 test-tpu:            ## same suite against the real TPU backend
-	CLIP_TPU_TEST_TPU=1 $(PY) -m pytest tests/ -q --ignore=tests/test_sharding.py
+	CLIP_TPU_TEST_TPU=1 $(PY) -m pytest tests/ -q
 
 bench:               ## driver headline metric (one JSON line)
 	$(PY) bench.py

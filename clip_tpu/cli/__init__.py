@@ -38,6 +38,7 @@ _COMMANDS = {
 
 def dispatch(argv=None) -> int:
     import importlib
+    import os
 
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
@@ -54,7 +55,11 @@ def dispatch(argv=None) -> int:
         return mod.main(argv[1:])
     except (ValueError, FileNotFoundError, IsADirectoryError) as e:
         # expected user errors (bad model file, bad flag value, missing path):
-        # one clean line, no traceback — mirrors the reference CLIs' behavior
+        # one clean line, no traceback — mirrors the reference CLIs' behavior.
+        # CLIP_TPU_DEBUG=1 re-raises so internal bugs that also raise
+        # ValueError (shape errors etc.) keep their traceback.
+        if os.environ.get("CLIP_TPU_DEBUG"):
+            raise
         print(f"error: {e}", file=sys.stderr)
         return 1
 

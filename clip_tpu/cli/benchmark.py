@@ -65,6 +65,7 @@ def _run(args, fout) -> int:
     bs = max(args.batch_size, 1)
     total_acc1 = total_acc5 = 0.0
     n_total = 0
+    skipped: list = []
     t0 = time.perf_counter()
     for label_idx, label in enumerate(labels):
         files = classes[label]
@@ -72,7 +73,9 @@ def _run(args, fout) -> int:
             files = files[: (len(files) // bs) * bs]
         n_items = n_acc1 = n_acc5 = 0
         chunks = [files[i:i + bs] for i in range(0, len(files), bs)]
-        for _, pixels in prefetch_preprocessed(engine, chunks, n_workers=args.threads):
+        for _, pixels in prefetch_preprocessed(
+            engine, chunks, n_workers=args.threads, skipped=skipped
+        ):
             vecs = engine.encode_image(pixels, normalize=True)
             sims = vecs @ txt_vecs.T  # [b, n_labels]
             for row in sims:
@@ -100,6 +103,11 @@ def _run(args, fout) -> int:
     if n_total:
         fout.write(f"- {n_total} images encoded in {image_ms:8.2f} ms "
                    f"({image_ms/n_total:8.2f} ms per image)\n")
+    if skipped:
+        # surfaced in the report because skipped files shrink the per-class
+        # accuracy denominator (the reference instead aborts on decode failure)
+        fout.write(f"- WARNING: {len(skipped)} unreadable image(s) skipped; "
+                   f"accuracy denominators exclude them\n")
     return 0
 
 

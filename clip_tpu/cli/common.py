@@ -64,11 +64,16 @@ def get_dir_keyed_files(root: str, max_files_per_dir: int = 0) -> "OrderedDict[s
     return out
 
 
-def prefetch_preprocessed(engine, path_chunks, n_workers: int = 4):
+def prefetch_preprocessed(engine, path_chunks, n_workers: int = 4, skipped=None):
     """Yield ``(paths, pixels)`` per chunk with the NEXT chunk's load +
     preprocess overlapped with the caller's device work (one-step-ahead
     double buffering — the TPU-side analogue of the reference's pthread
-    preprocessing, clip.cpp:963-1008, which overlaps nothing)."""
+    preprocessing, clip.cpp:963-1008, which overlaps nothing).
+
+    Unreadable files are skipped (like an stbi decode failure in the
+    reference); pass a list as ``skipped`` to collect their paths so callers
+    can report the count (accuracy denominators shrink when files drop).
+    """
     import sys
     from concurrent.futures import ThreadPoolExecutor
 
@@ -80,6 +85,8 @@ def prefetch_preprocessed(engine, path_chunks, n_workers: int = 4):
                 kept.append(path)
             except Exception as e:  # unreadable image: skip like stbi failure
                 print(f"skipping {path}: {e}", file=sys.stderr)
+                if skipped is not None:
+                    skipped.append(path)
         if not imgs:
             return kept, None
         return kept, engine.preprocess(imgs, n_workers=n_workers)

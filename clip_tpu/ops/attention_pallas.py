@@ -130,7 +130,10 @@ def mha_pallas_qkv(
     QK^T, clip.cpp:1082)."""
     b, s, h3 = qkv.shape
     h = h3 // 3
-    s_pad = max(-(-s // 8) * 8, 8)
+    # sublane tile is 8 for f32, 16 for bf16/f16: pad S so Mosaic never
+    # re-pads/relayouts internally
+    sm = 8 if qkv.dtype.itemsize >= 4 else 16
+    s_pad = max(-(-s // sm) * sm, sm)
     bb = min(block_b if block_b else 1, b)
     bb = max(1, min(bb, 256 // s_pad if s_pad <= 256 else 1))
     b_pad = -(-b // bb) * bb
@@ -179,7 +182,8 @@ def mha_pallas(
     callers should pass unpadded S and let the kernel pad internally.
     """
     b, s, h = q.shape
-    s_pad = max(-(-s // 8) * 8, 8)
+    sm = 8 if q.dtype.itemsize >= 4 else 16
+    s_pad = max(-(-s // sm) * sm, sm)
     # group enough images per step for ~128-256 stacked rows (full MXU tiles)
     bb = min(block_b if block_b else 1, b)
     bb = max(1, min(bb, 256 // s_pad if s_pad <= 256 else 1))

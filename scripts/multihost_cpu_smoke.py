@@ -22,7 +22,7 @@ N_PROC = 2
 MODEL = os.path.join(_REPO, ".cache", "entry_vit-b-32_q4_0_both.gguf")
 
 
-def rank_main(rank: int, port: int) -> None:
+def rank_main(rank: int, port: int, out_path: str) -> None:
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
@@ -99,7 +99,8 @@ def rank_main(rank: int, port: int) -> None:
     out_g = fn(params["vision"], pixels=pixels)   # sharded global [8, D]
     emb = np.asarray(multihost_utils.process_allgather(out_g, tiled=True))
     if rank == 0:
-        np.save("/tmp/multihost_emb.npy", emb)
+        with open(out_path, "wb") as f:  # per-run path from the launcher
+            np.save(f, emb)
     print(f"rank {rank}: process_count={jax.process_count()} "
           f"devices={n_global} global_sum={out} encode={emb.shape} OK", flush=True)
 
@@ -130,7 +131,8 @@ def _single_process_reference() -> "np.ndarray":
 def main() -> int:
     if "--rank" in sys.argv:
         rank_main(int(sys.argv[sys.argv.index("--rank") + 1]),
-                  int(sys.argv[sys.argv.index("--port") + 1]))
+                  int(sys.argv[sys.argv.index("--port") + 1]),
+                  sys.argv[sys.argv.index("--out") + 1])
         return 0
 
     if not os.path.exists(MODEL):
@@ -142,9 +144,16 @@ def main() -> int:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
 
+    # per-run result file: a fixed /tmp path could race with a stale or
+    # concurrent run
+    import tempfile
+    fd, out_path = tempfile.mkstemp(suffix=".npy", prefix="multihost_emb_")
+    os.close(fd)
+
     procs = [
         subprocess.Popen([sys.executable, os.path.abspath(__file__),
-                          "--rank", str(r), "--port", str(port)])
+                          "--rank", str(r), "--port", str(port),
+                          "--out", out_path])
         for r in range(N_PROC)
     ]
     try:
@@ -152,15 +161,18 @@ def main() -> int:
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
+        os.unlink(out_path)
         print("FAILED: rank hang (coordinator handshake or collective stall)",
               file=sys.stderr)
         return 1
     if any(codes):
+        os.unlink(out_path)
         print(f"FAILED: exit codes {codes}", file=sys.stderr)
         return 1
 
     import numpy as np
-    mh = np.load("/tmp/multihost_emb.npy")
+    mh = np.load(out_path)
+    os.unlink(out_path)
     ref = _single_process_reference()
     maxdiff = float(np.abs(mh - ref).max())
     print(f"multihost vs single-process maxdiff: {maxdiff:.2e}")
