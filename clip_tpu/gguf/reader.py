@@ -135,8 +135,16 @@ class GGUFReader:
         self._pos += size
         return vals[0] if len(vals) == 1 else vals
 
+    def _read_len(self) -> int:
+        """Lengths/counts (string lengths, array counts, tensor/kv counts,
+        tensor dims) are uint32 in GGUF v1, uint64 from v2 on — the entire
+        v1->v2 format change (the era of the published mys/ggml_clip-*
+        checkpoints the reference's bindings auto-download,
+        /root/reference/examples/python_bindings/clip_cpp/clip.py:260-309)."""
+        return self._read("<I" if self.version == 1 else "<Q")
+
     def _read_string(self) -> str:
-        n = self._read("<Q")
+        n = self._read_len()
         s = self._mm[self._pos : self._pos + n]
         self._pos += n
         return s.decode("utf-8")
@@ -148,7 +156,7 @@ class GGUFReader:
             return self._read_string()
         if vtype == GGUFValueType.ARRAY:
             elem_type = GGUFValueType(self._read("<I"))
-            count = self._read("<Q")
+            count = self._read_len()
             if elem_type == GGUFValueType.STRING:
                 return [self._read_string() for _ in range(count)]
             if elem_type == GGUFValueType.ARRAY:
@@ -171,10 +179,12 @@ class GGUFReader:
             raise ValueError(f"{self.path}: not a GGUF file (magic={magic!r})")
         self._pos = 4
         self.version = self._read("<I")
-        if self.version < 2:
-            raise ValueError(f"GGUF v{self.version} is not supported (v2+ only)")
-        n_tensors = self._read("<Q")
-        n_kv = self._read("<Q")
+        if self.version < 1 or self.version > 3:
+            raise ValueError(
+                f"GGUF v{self.version} is not supported (v1-v3; the reference "
+                f"prints the version and trusts its ggml snapshot, clip.cpp:359)")
+        n_tensors = self._read_len()
+        n_kv = self._read_len()
 
         for _ in range(n_kv):
             key = self._read_string()
@@ -186,7 +196,7 @@ class GGUFReader:
         for _ in range(n_tensors):
             name = self._read_string()
             n_dims = self._read("<I")
-            shape_gguf = tuple(self._read("<Q") for _ in range(n_dims))
+            shape_gguf = tuple(self._read_len() for _ in range(n_dims))
             ggml_type = GGMLType(self._read("<I"))
             offset = self._read("<Q")
             info = TensorInfo(name, shape_gguf, ggml_type, offset)

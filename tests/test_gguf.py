@@ -122,3 +122,47 @@ def test_writer_records_nondefault_alignment(tmp_path):
     r = GGUFReader(str(path))
     assert r.alignment == 64
     np.testing.assert_array_equal(r.tensor_data("a"), a)
+
+
+def test_header_version_fixtures():
+    """Committed binary fixtures pin all three container versions forever.
+
+    v1 (uint32 lengths/counts/dims — the published mys/ggml_clip-* era),
+    v2 and v3 (uint64) must parse to identical logical content.  Regenerate
+    with scripts/make_gguf_fixtures.py — bytes must not change.
+    """
+    import os
+    import sys
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    try:
+        from make_gguf_fixtures import build, fixture_kvs, fixture_tensors
+    finally:
+        sys.path.pop(0)
+
+    for version in (1, 2, 3):
+        path = os.path.join(fixdir, f"header_v{version}.gguf")
+        # the committed bytes are exactly what the generator produces
+        with open(path, "rb") as f:
+            assert f.read() == build(version), f"fixture v{version} drifted"
+        with GGUFReader(path) as r:
+            assert r.version == version
+            assert r.kv["general.name"] == "header-fixture"
+            assert r.kv["fixture.u32"] == 7
+            assert r.kv["fixture.flag"] is True
+            assert r.kv["fixture.strings"] == ["alpha", "bb"]
+            np.testing.assert_allclose(r.kv["fixture.floats"], [1.5, -2.0, 0.25])
+            for name, arr in fixture_tensors():
+                got = r.tensor_data(name)
+                assert got.dtype == arr.dtype
+                np.testing.assert_array_equal(got, arr)
+
+
+def test_reader_rejects_future_version(tmp_path):
+    path = tmp_path / "v9.gguf"
+    import struct
+
+    path.write_bytes(b"GGUF" + struct.pack("<IQQ", 9, 0, 0))
+    with pytest.raises(ValueError, match="not supported"):
+        GGUFReader(str(path))
