@@ -79,6 +79,7 @@ class ClipEngine:
         keep_quantized: bool = True,
         mesh: "jax.sharding.Mesh | None" = None,
         use_mesh: bool = False,
+        use_shard_map: bool | None = None,
         attn_impl: str = "auto",
         unroll: bool = False,
         verbosity: int = 1,
@@ -111,7 +112,47 @@ class ClipEngine:
         self.mesh = mesh
         if mesh is None and use_mesh and len(jax.devices()) > 1:
             self.mesh = pmesh.make_mesh()
+
+        # Execution path under a mesh.  Preferred: jax.shard_map — every chip
+        # runs ordinary single-device code (fused Pallas kernels included)
+        # with explicit Megatron-style collectives.  Fallback: pjit SPMD,
+        # which cannot partition Pallas custom calls, so both the attention
+        # kernel and the fused qmatmul must be forced to their XLA paths.
+        self._spmd = False
+        self._tp_axis = None
+        self._qmm_backend: str | None = None
+        self._n_model = 1
         if self.mesh is not None:
+            if pmesh.MODEL_AXIS in self.mesh.axis_names:
+                self._n_model = self.mesh.shape[pmesh.MODEL_AXIS]
+            n_heads = {}
+            if self.config.text is not None:
+                n_heads["text"] = self.config.text.n_head
+            if self.config.vision is not None:
+                n_heads["vision"] = self.config.vision.n_head
+            compat = (
+                pmesh.DATA_AXIS in self.mesh.axis_names
+                and pmesh.spmd_compatible(params, self.mesh, n_heads)
+            )
+            if use_shard_map is None:
+                self._spmd = compat
+            elif use_shard_map:
+                if not compat:
+                    raise ValueError(
+                        "use_shard_map=True but the model cannot be "
+                        "head/block-aligned on this mesh (head count or a "
+                        "weight dim does not divide the model axis)")
+                self._spmd = True
+            if self._spmd:
+                self._tp_axis = (
+                    pmesh.MODEL_AXIS if self._n_model > 1 else None
+                )
+                params = pmesh.permute_qkv_params(params, self._n_model)
+            else:
+                # pjit cannot partition Pallas custom calls: any 'auto' route
+                # into the fused qmatmul would crash (or silently gather) on
+                # real multi-chip hardware
+                self._qmm_backend = "xla"
             params = pmesh.shard_params(params, self.mesh)
         else:
             params = jax.device_put(params)
@@ -128,18 +169,18 @@ class ClipEngine:
                 tokens, bos_id=min(49406, n - 2), eos_id=min(49407, n - 1)
             )
 
-        # Pallas custom calls cannot be partitioned by pjit's SPMD pass, so
-        # mesh execution must use the XLA attention path (the kernel remains
-        # the single-chip default via "auto").
+        # Attention impl under a mesh: the shard_map path runs the Pallas
+        # kernel per-shard ('auto' keeps its single-chip meaning); the pjit
+        # fallback cannot partition Pallas custom calls, so it forces XLA.
         if attn_impl not in VALID_ATTN_IMPLS:
             raise ValueError(
                 f"unknown attn_impl {attn_impl!r}: use {'|'.join(VALID_ATTN_IMPLS)}")
-        if self.mesh is not None:
+        if self.mesh is not None and not self._spmd:
             if attn_impl == "pallas":
                 raise ValueError(
                     "attn_impl='pallas' cannot run under a device mesh "
-                    "(Pallas custom calls are not pjit-partitionable); "
-                    "use attn_impl='auto' or 'xla'")
+                    "without shard_map (Pallas custom calls are not "
+                    "pjit-partitionable); use attn_impl='auto' or 'xla'")
             if attn_impl == "auto":
                 attn_impl = "xla"
         self.attn_impl = attn_impl
@@ -223,12 +264,32 @@ class ClipEngine:
 
     # -- jitted tower entry points -------------------------------------------
 
+    def _wrap(self, local_fn, tower: str, *batch_specs):
+        """jit ``local_fn(params, *batch)``; on the shard_map path, map it
+        over the mesh so each shard runs the full single-chip code (Pallas
+        kernels included) on its (data-shard, model-shard) slice."""
+        if not self._spmd:
+            return jax.jit(local_fn)
+        from jax.sharding import PartitionSpec as P
+
+        pspec = pmesh.param_specs(self.params[tower], self._n_model)
+        return jax.jit(jax.shard_map(
+            local_fn, mesh=self.mesh,
+            in_specs=(pspec, *batch_specs),
+            out_specs=P(pmesh.DATA_AXIS, None),
+            check_vma=False,  # Pallas calls carry no replication rule
+        ))
+
+    def _batch_spec(self, ndim: int):
+        from jax.sharding import PartitionSpec as P
+
+        return P(pmesh.DATA_AXIS, *([None] * (ndim - 1)))
+
     def _text_fn(self, normalize: bool):
         key = ("text", normalize)
         if key not in self._jit_cache:
             cfg = self.config
 
-            @functools.partial(jax.jit, static_argnames=())
             def fn(params, ids, lengths):
                 return encode_text(
                     params, cfg.text, ids, lengths,
@@ -236,9 +297,12 @@ class ClipEngine:
                     compute_dtype=self.compute_dtype,
                     attn_impl=self.attn_impl,
                     unroll=self.unroll,
+                    qmm_backend=self._qmm_backend,
+                    tp_axis=self._tp_axis,
                 )
 
-            self._jit_cache[key] = fn
+            self._jit_cache[key] = self._wrap(
+                fn, "text", self._batch_spec(2), self._batch_spec(1))
         return self._jit_cache[key]
 
     def _vision_fn(self, normalize: bool):
@@ -246,7 +310,6 @@ class ClipEngine:
         if key not in self._jit_cache:
             cfg = self.config
 
-            @functools.partial(jax.jit, static_argnames=())
             def fn(params, pixels):
                 return encode_image(
                     params, cfg.vision, pixels,
@@ -254,9 +317,11 @@ class ClipEngine:
                     compute_dtype=self.compute_dtype,
                     attn_impl=self.attn_impl,
                     unroll=self.unroll,
+                    qmm_backend=self._qmm_backend,
+                    tp_axis=self._tp_axis,
                 )
 
-            self._jit_cache[key] = fn
+            self._jit_cache[key] = self._wrap(fn, "vision", self._batch_spec(4))
         return self._jit_cache[key]
 
     def _vision_raw_fn(self, normalize: bool, in_h: int, in_w: int):
@@ -273,7 +338,6 @@ class ClipEngine:
                 np.asarray(self.config.image_mean), np.asarray(self.config.image_std),
             )
 
-            @jax.jit
             def fn(params, imgs_u8):
                 return encode_image(
                     params, cfg.vision, prep(imgs_u8),
@@ -281,9 +345,11 @@ class ClipEngine:
                     compute_dtype=self.compute_dtype,
                     attn_impl=self.attn_impl,
                     unroll=self.unroll,
+                    qmm_backend=self._qmm_backend,
+                    tp_axis=self._tp_axis,
                 )
 
-            self._jit_cache[key] = fn
+            self._jit_cache[key] = self._wrap(fn, "vision", self._batch_spec(4))
         return self._jit_cache[key]
 
     # -- encoding -------------------------------------------------------------

@@ -34,6 +34,8 @@ def encode_text(
     compute_dtype=jnp.float32,
     attn_impl: str = "auto",
     unroll: bool = False,
+    qmm_backend: str | None = None,
+    tp_axis: str | None = None,
 ) -> jnp.ndarray:
     b, s = token_ids.shape
 
@@ -51,6 +53,8 @@ def encode_text(
         compute_dtype=compute_dtype,
         attn_impl=attn_impl,
         unroll=unroll,
+        qmm_backend=qmm_backend,
+        tp_axis=tp_axis,
     )
 
     x = layernorm(x, params["post_ln_w"], params["post_ln_b"], cfg.eps)
@@ -60,7 +64,8 @@ def encode_text(
         x, (lengths - 1)[:, None, None].astype(jnp.int32), axis=1
     )[:, 0, :]
 
-    out = qmatmul(pooled, params["proj"], compute_dtype=compute_dtype)
+    out = qmatmul(pooled, params["proj"], compute_dtype=compute_dtype,
+                  backend=qmm_backend)
     if normalize:
         out = l2_normalize(out)
     return out

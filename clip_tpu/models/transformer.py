@@ -36,7 +36,8 @@ def _causal_bias(seq_len: int) -> jnp.ndarray:
 
 def resolve_attn_impl(attn_impl: str) -> str:
     """'auto' picks the fused Pallas kernel on TPU, the XLA einsum path
-    elsewhere (Pallas TPU kernels don't run on the CPU backend)."""
+    elsewhere (explicit 'pallas' off-TPU runs the kernel in interpret mode —
+    slow, but lets the CPU test mesh exercise the exact multi-chip graph)."""
     if attn_impl == "auto":
         return "pallas" if jax.default_backend() == "tpu" else "xla"
     if attn_impl not in VALID_ATTN_IMPLS:
@@ -48,51 +49,78 @@ def resolve_attn_impl(attn_impl: str) -> str:
 def attention(
     x, lp, *, n_head: int, causal: bool = False,
     compute_dtype=jnp.float32, attn_impl: str = "auto",
+    qmm_backend: str | None = None, tp_axis: str | None = None,
 ):
     """Multi-head self-attention over ``x [B, S, H]``.
 
     Q/K/V use one fused [3H, H] projection (see models.params): a single wide
     GEMM instead of three narrow ones — the narrow-N case leaves most of the
     128x128 MXU idle.
+
+    Under tensor parallelism (``tp_axis`` set, inside ``jax.shard_map``) the
+    fused projection holds this shard's heads in local [q; k; v] layout (see
+    ``parallel.mesh.permute_qkv_params``); attention runs on ``n_head /
+    n_shards`` local heads and the row-parallel output projection is
+    psum-reduced before the (replicated) bias is added — the Megatron pattern,
+    one collective per attention.
     """
     b, s, h = x.shape
     d_head = h // n_head
     scale = 1.0 / (d_head ** 0.5)
 
-    qkv = linear(x, lp["qkv_w"], lp["qkv_b"], compute_dtype=compute_dtype)
+    qkv = linear(x, lp["qkv_w"], lp["qkv_b"], compute_dtype=compute_dtype,
+                 backend=qmm_backend)
+    h_loc = qkv.shape[-1] // 3
+    n_head_loc = h_loc // d_head
 
     impl = resolve_attn_impl(attn_impl)
     if impl == "pallas":
         # fused qkv goes straight into the kernel: no split/scale/pad passes
-        out = mha_pallas_qkv(qkv, n_head=n_head, scale=scale, causal=causal)
+        out = mha_pallas_qkv(
+            qkv, n_head=n_head_loc, scale=scale, causal=causal,
+            interpret=jax.default_backend() != "tpu",
+        )
     else:
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = (q * jnp.asarray(scale, compute_dtype)).reshape(b, s, n_head, d_head)
-        kh = k.reshape(b, s, n_head, d_head)
-        vh = v.reshape(b, s, n_head, d_head)
+        q = (q * jnp.asarray(scale, compute_dtype)).reshape(b, s, n_head_loc, d_head)
+        kh = k.reshape(b, s, n_head_loc, d_head)
+        vh = v.reshape(b, s, n_head_loc, d_head)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, kh, preferred_element_type=jnp.float32)
         if causal:
             scores = scores + _causal_bias(s)
         attn = softmax(scores.astype(jnp.float32), axis=-1).astype(compute_dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh, preferred_element_type=jnp.float32)
-        out = out.astype(compute_dtype).reshape(b, s, h)
-    return linear(out, lp["o_w"], lp["o_b"], compute_dtype=compute_dtype)
+        out = out.astype(compute_dtype).reshape(b, s, h_loc)
+
+    proj = linear(out, lp["o_w"], None if tp_axis else lp["o_b"],
+                  compute_dtype=compute_dtype, backend=qmm_backend)
+    if tp_axis is not None:
+        proj = jax.lax.psum(proj, tp_axis) + lp["o_b"].astype(proj.dtype)
+    return proj
 
 
 def block(x, lp, *, n_head, eps, use_gelu, causal=False,
-          compute_dtype=jnp.float32, attn_impl="auto"):
+          compute_dtype=jnp.float32, attn_impl="auto",
+          qmm_backend=None, tp_axis=None):
     h = layernorm(x, lp["ln1_w"], lp["ln1_b"], eps)
     x = x + attention(h, lp, n_head=n_head, causal=causal,
-                      compute_dtype=compute_dtype, attn_impl=attn_impl)
+                      compute_dtype=compute_dtype, attn_impl=attn_impl,
+                      qmm_backend=qmm_backend, tp_axis=tp_axis)
     h = layernorm(x, lp["ln2_w"], lp["ln2_b"], eps)
-    h = linear(h, lp["up_w"], lp["up_b"], compute_dtype=compute_dtype)
+    h = linear(h, lp["up_w"], lp["up_b"], compute_dtype=compute_dtype,
+               backend=qmm_backend)
     h = gelu_tanh(h) if use_gelu else gelu_quick(h)
-    h = linear(h, lp["down_w"], lp["down_b"], compute_dtype=compute_dtype)
+    # row-parallel down-projection: partial sums reduced before the bias
+    h = linear(h, lp["down_w"], None if tp_axis else lp["down_b"],
+               compute_dtype=compute_dtype, backend=qmm_backend)
+    if tp_axis is not None:
+        h = jax.lax.psum(h, tp_axis) + lp["down_b"].astype(h.dtype)
     return x + h
 
 
 def run_blocks(x, layers, *, n_head, eps, use_gelu, causal=False,
-               compute_dtype=jnp.float32, attn_impl="auto", unroll=False):
+               compute_dtype=jnp.float32, attn_impl="auto", unroll=False,
+               qmm_backend=None, tp_axis=None):
     """Run the transformer stack; ``layers`` leaves carry a leading L axis.
 
     ``unroll=True`` emits a Python loop instead of ``lax.scan``: each layer's
@@ -103,6 +131,7 @@ def run_blocks(x, layers, *, n_head, eps, use_gelu, causal=False,
     f = partial(
         block, n_head=n_head, eps=eps, use_gelu=use_gelu, causal=causal,
         compute_dtype=compute_dtype, attn_impl=attn_impl,
+        qmm_backend=qmm_backend, tp_axis=tp_axis,
     )
 
     if unroll:

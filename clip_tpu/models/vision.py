@@ -45,6 +45,8 @@ def encode_image(
     compute_dtype=jnp.float32,
     attn_impl: str = "auto",
     unroll: bool = False,
+    qmm_backend: str | None = None,
+    tp_axis: str | None = None,
 ) -> jnp.ndarray:
     b = pixels.shape[0]
     p = cfg.patch_size
@@ -56,7 +58,8 @@ def encode_image(
     w_flat = w_patch.reshape(hdim, 3 * p * p)
 
     x = patchify(pixels.astype(compute_dtype), p)
-    x = qmatmul(x, w_flat, compute_dtype=compute_dtype)  # [B, N, hidden]
+    x = qmatmul(x, w_flat, compute_dtype=compute_dtype,
+                backend=qmm_backend)  # [B, N, hidden]
 
     cls = params["class_embd"].astype(compute_dtype)
     cls = jnp.broadcast_to(cls[None, None, :], (b, 1, hdim))
@@ -77,11 +80,14 @@ def encode_image(
         compute_dtype=compute_dtype,
         attn_impl=attn_impl,
         unroll=unroll,
+        qmm_backend=qmm_backend,
+        tp_axis=tp_axis,
     )
 
     pooled = x[:, 0, :]  # CLS (clip.cpp:1426-1430)
     pooled = layernorm(pooled, params["post_ln_w"], params["post_ln_b"], cfg.eps)
-    out = qmatmul(pooled, params["proj"], compute_dtype=compute_dtype)
+    out = qmatmul(pooled, params["proj"], compute_dtype=compute_dtype,
+                  backend=qmm_backend)
     if normalize:
         out = l2_normalize(out)
     return out

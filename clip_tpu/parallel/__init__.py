@@ -3,8 +3,11 @@ from .mesh import (
     MODEL_AXIS,
     make_mesh,
     param_specs,
+    permute_qkv_params,
+    qkv_head_permutation,
     shard_batch,
     shard_params,
+    spmd_compatible,
 )
 
 __all__ = [
@@ -12,6 +15,9 @@ __all__ = [
     "MODEL_AXIS",
     "make_mesh",
     "param_specs",
+    "permute_qkv_params",
+    "qkv_head_permutation",
     "shard_batch",
     "shard_params",
+    "spmd_compatible",
 ]

@@ -133,3 +133,95 @@ def shard_batch(x, mesh: Mesh):
     """Shard a host array's leading (batch) axis over the data axis."""
     spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
     return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+# -- shard_map (per-shard SPMD) support ---------------------------------------
+#
+# pjit/SPMD cannot partition Pallas custom calls, so the mesh path would lose
+# the fused attention/qmatmul kernels (the single-chip perf wins).  Under
+# ``jax.shard_map`` every shard runs ordinary single-device code — Pallas
+# included — with explicit collectives (one psum per attention-out / MLP-down
+# row-parallel projection, the Megatron inference pattern).
+
+
+def qkv_head_permutation(h: int, n_model: int) -> np.ndarray:
+    """Row permutation of the fused [3H, K] QKV weight so that a contiguous
+    N-shard holds exactly this shard's heads in local ``[q; k; v]`` layout.
+
+    Global layout is ``[Q(0..H); K(0..H); V(0..H)]`` (head-major inside each).
+    Contiguous sharding of that layout splits mid-projection (e.g. 2 shards:
+    shard 0 = all of Q + half of K — useless).  After permutation, shard ``i``
+    holds ``[Q_i; K_i; V_i]`` where ``_i`` is its contiguous slice of heads.
+    """
+    hl = h // n_model
+    idx = []
+    for i in range(n_model):
+        for t in range(3):
+            idx.extend(range(t * h + i * hl, t * h + (i + 1) * hl))
+    return np.asarray(idx, dtype=np.int64)
+
+
+def _permute_rows(w, idx):
+    """Permute the N (output-feature) axis of a layer-stacked weight
+    ([L, N, ...] — axis 1) or bias ([L, N])."""
+    if isinstance(w, QTensor):
+        return QTensor(
+            q=np.asarray(w.q)[:, idx],
+            d=np.asarray(w.d)[:, idx],
+            m=None if w.m is None else np.asarray(w.m)[:, idx],
+            qtype=w.qtype,
+        )
+    return np.asarray(w)[:, idx]
+
+
+def permute_qkv_params(params: Any, n_model: int) -> Any:
+    """Apply :func:`qkv_head_permutation` to every tower's fused QKV weight
+    and bias (host-side, before sharding).  Only valid together with the
+    shard_map TP path — the permuted layout is consumed by
+    ``models.transformer.attention`` with ``tp_axis`` set."""
+    if n_model <= 1:
+        return params
+    out = dict(params)
+    for tower in ("text", "vision"):
+        if tower not in out or "layers" not in out[tower]:
+            continue
+        layers = dict(out[tower]["layers"])
+        h3 = layers["qkv_w"].shape[1]
+        idx = qkv_head_permutation(h3 // 3, n_model)
+        layers["qkv_w"] = _permute_rows(layers["qkv_w"], idx)
+        layers["qkv_b"] = _permute_rows(layers["qkv_b"], idx)
+        t = dict(out[tower])
+        t["layers"] = layers
+        out[tower] = t
+    return out
+
+
+def spmd_compatible(params: Any, mesh: Mesh, n_heads: dict) -> bool:
+    """True if every TP-sharded leaf divides the model axis exactly (no
+    replication fallback possible — shard_map in_specs are strict) and each
+    tower's head count divides the model axis (head-aligned QKV shards).
+
+    ``n_heads`` maps tower name -> attention head count.
+    """
+    n_model = mesh.shape.get(MODEL_AXIS, 1)
+    if n_model == 1:
+        return True
+    for tower, nh in n_heads.items():
+        if tower in params and nh % n_model != 0:
+            return False
+
+    specs = param_specs(params, n_model)
+
+    def ok(node, spec) -> bool:
+        if isinstance(node, dict):
+            return all(ok(node[k], spec[k]) for k in node)
+        if isinstance(node, QTensor):
+            good = _divisible(node.q, spec.q, mesh) and _divisible(node.d, spec.d, mesh)
+            if node.m is not None:
+                good = good and _divisible(node.m, spec.m, mesh)
+            return good
+        if node is None:
+            return True
+        return _divisible(node, spec, mesh)
+
+    return ok(params, specs)

@@ -193,25 +193,33 @@ def test_attn_impl_explicit_xla_matches_auto_on_cpu(tiny, rng):
     np.testing.assert_array_equal(a, b)
 
 
-def test_attn_impl_pallas_fails_on_cpu(tiny, rng):
-    """Requesting the TPU kernel on the CPU backend must error, not silently
-    produce something else (resolve_attn_impl passes it through verbatim)."""
+def test_attn_impl_pallas_interprets_on_cpu(tiny, rng):
+    """Explicit 'pallas' off-TPU runs the kernel in interpret mode and must
+    match the XLA path (this is how the CPU mesh tests exercise the exact
+    multi-chip graph)."""
     if ON_TPU:
-        pytest.skip("pallas works on the TPU backend by design")
+        pytest.skip("pallas runs natively on the TPU backend")
     cfg = tiny["cfg"]
     ids = random_tokens(rng, 2, cfg.text.num_positions)
     lengths = np.full((2,), cfg.text.num_positions, np.int32)
-    with pytest.raises(Exception):
-        np.asarray(encode_text(
-            tiny["params"]["text"], cfg.text, jnp.asarray(ids),
-            jnp.asarray(lengths), use_gelu=cfg.use_gelu, normalize=True,
-            attn_impl="pallas"))
+    a = np.asarray(encode_text(
+        tiny["params"]["text"], cfg.text, jnp.asarray(ids),
+        jnp.asarray(lengths), use_gelu=cfg.use_gelu, normalize=True,
+        attn_impl="pallas"))
+    b = np.asarray(encode_text(
+        tiny["params"]["text"], cfg.text, jnp.asarray(ids),
+        jnp.asarray(lengths), use_gelu=cfg.use_gelu, normalize=True,
+        attn_impl="xla"))
+    np.testing.assert_allclose(a, b, atol=1e-5)
 
 
-def test_engine_rejects_pallas_with_mesh(tiny):
+def test_engine_rejects_pallas_with_pjit_mesh(tiny):
+    """Without shard_map, pjit cannot partition Pallas custom calls — an
+    explicit 'pallas' request under a mesh must be refused."""
     import jax as _jax
     from clip_tpu.engine import ClipEngine
     if len(_jax.devices()) < 2:
         pytest.skip("needs a multi-device (virtual) platform")
     with pytest.raises(ValueError, match="pallas"):
-        ClipEngine(str(tiny["path"]), use_mesh=True, attn_impl="pallas", verbosity=0)
+        ClipEngine(str(tiny["path"]), use_mesh=True, use_shard_map=False,
+                   attn_impl="pallas", verbosity=0)

@@ -80,3 +80,72 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_qkv_head_permutation_roundtrip():
+    from clip_tpu.parallel import qkv_head_permutation
+
+    h, n_model = 8, 2
+    idx = qkv_head_permutation(h, n_model)
+    # shard 0 = first half of Q, K, V; shard 1 = second halves
+    assert idx.tolist() == (
+        list(range(0, 4)) + list(range(8, 12)) + list(range(16, 20))
+        + list(range(4, 8)) + list(range(12, 16)) + list(range(20, 24))
+    )
+
+
+@pytest.mark.parametrize("n_data,n_model", [(8, 1), (4, 2)])
+@pytest.mark.parametrize("attn_impl", ["xla", "pallas"])
+def test_shard_map_engine_matches_single_device(tiny_q, rng, n_data, n_model, attn_impl):
+    """The shard_map path (per-shard Pallas-capable code + Megatron TP
+    collectives) must agree with the single-device engine.  attn_impl='pallas'
+    runs the fused attention kernel per-shard in interpret mode on CPU —
+    proving the multi-chip path keeps the single-chip kernels."""
+    from clip_tpu.engine import ClipEngine
+
+    base = ClipEngine(tiny_q, verbosity=0)
+    mesh = make_mesh(n_data, n_model)
+    eng = ClipEngine(tiny_q, mesh=mesh, attn_impl=attn_impl, verbosity=0)
+    assert eng._spmd, "tiny model should be shard_map-compatible on this mesh"
+    assert eng._qmm_backend is None
+
+    pixels = rng.normal(size=(8, 28, 28, 3)).astype(np.float32)
+    out = eng.encode_image(pixels, normalize=True, preprocessed=True)
+    ref = base.encode_image(pixels, normalize=True, preprocessed=True)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    texts = ["a", "b", "ab", "ba", "aa", "bb", "a b", "b a"]
+    out_t = eng.encode_text(texts)
+    ref_t = base.encode_text(texts)
+    np.testing.assert_allclose(out_t, ref_t, atol=2e-5)
+    base.close(); eng.close()
+
+
+def test_incompatible_mesh_falls_back_to_pjit(tiny_q, rng):
+    """hidden=64 cannot row-shard 4 ways in 32-element quant blocks: the
+    engine must fall back to pjit SPMD and force the XLA qmatmul/attention
+    paths (the round-1 latent bug: 'auto' routed sharded QTensors into a
+    non-partitionable Pallas custom call)."""
+    from clip_tpu.engine import ClipEngine
+
+    mesh = make_mesh(2, 4)
+    eng = ClipEngine(tiny_q, mesh=mesh, verbosity=0)
+    assert not eng._spmd
+    assert eng._qmm_backend == "xla"
+    assert eng.attn_impl == "xla"
+
+    base = ClipEngine(tiny_q, verbosity=0)
+    pixels = rng.normal(size=(8, 28, 28, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        eng.encode_image(pixels, normalize=True, preprocessed=True),
+        base.encode_image(pixels, normalize=True, preprocessed=True),
+        atol=2e-5)
+    base.close(); eng.close()
+
+
+def test_use_shard_map_true_rejects_incompatible(tiny_q):
+    from clip_tpu.engine import ClipEngine
+
+    mesh = make_mesh(2, 4)
+    with pytest.raises(ValueError, match="shard_map"):
+        ClipEngine(tiny_q, mesh=mesh, use_shard_map=True, verbosity=0)
