@@ -26,7 +26,13 @@ from .common import base_parser, get_dir_keyed_files, prefetch_preprocessed
 
 def main(argv=None) -> int:
     p = base_parser("clip-tpu-benchmark", __doc__, needs_text=False, needs_image=False)
-    p.add_argument("dataset", help="directory of class-named image directories")
+    p.add_argument("dataset", nargs="?", default=None,
+                   help="directory of class-named image directories")
+    p.add_argument("--prepare-imagenet", metavar="DIR", default=None,
+                   help="download + prepare the ImageNet-1k validation set "
+                        "into DIR (requires network; ~7 GB), then benchmark "
+                        "it — the one-command equivalent of the reference's "
+                        "tests/prepare_imagenet1k.py + benchmark run")
     p.add_argument("-o", "--output", default=None, help="write results to file")
     p.add_argument("--all-images", action="store_true",
                    help="score remainder images too (reference drops them)")
@@ -36,6 +42,13 @@ def main(argv=None) -> int:
                         "template containing {}. Default: none "
                         "(reference-protocol parity)")
     args = p.parse_args(argv)
+
+    if args.prepare_imagenet:
+        from ..datasets.imagenet import prepare_imagenet1k
+
+        args.dataset = prepare_imagenet1k(args.prepare_imagenet, verbose=True)
+    if args.dataset is None:
+        p.error("a dataset directory (or --prepare-imagenet DIR) is required")
 
     fout = open(args.output, "w") if args.output else sys.stdout
     try:
