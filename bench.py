@@ -7,7 +7,8 @@ Protocol
 --------
 * synthetic q4_0 ViT-B/32 vision-only GGUF (random weights — zero-egress env;
   identical shapes/compute to the real checkpoint),
-* quantized weights resident in HBM, bf16 compute, batch 256,
+* quantized weights resident in HBM, bf16 compute, batch 448 (swept 256-512:
+  the throughput knee is at 448; 512 falls off a scheduling cliff),
 * steady-state: 2 warmup rounds then median of 5 timed rounds of 10 encodes;
   each round ends with a host readback of a scalar reduction (the axon relay's
   block_until_ready is unreliable for full sync, so readback is the barrier).
@@ -32,7 +33,7 @@ import sys
 import time
 
 BASELINE_IMAGES_PER_SEC = 20.0
-BATCH = 256
+BATCH = 448
 ITERS_PER_ROUND = 20   # deep dispatch pipeline: hides the relay's per-call cost
 ROUNDS = 5
 

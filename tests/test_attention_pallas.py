@@ -66,3 +66,41 @@ def test_qkv_variant_matches_reference(rng, b, s, h, nh, causal):
         mha_pallas_qkv(qkv, n_head=nh, scale=scale, causal=causal, interpret=True)
     )
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_flat_path_dispatch():
+    """The pad-free flat path engages exactly when bb*S fits one score tile."""
+    from clip_tpu.ops.attention_pallas import _flat_block_b
+
+    assert _flat_block_b(256, 50) == 4       # ViT-B/32: 200 aligned rows
+    assert _flat_block_b(256, 16) == 8       # tiny S: grow to fill MXU tiles
+    assert _flat_block_b(256, 77) is None    # text ctx: 616 rows too big
+    assert _flat_block_b(256, 257) is None   # ViT-L/14: padded path
+    bb = _flat_block_b(8, 5)
+    assert bb is not None and (bb * 5) % 8 == 0
+
+
+@pytest.mark.parametrize(
+    "b,s,h,nh,causal",
+    [
+        (8, 50, 96, 4, False),   # flat path (bb=4), batch padded 8->8
+        (6, 50, 96, 4, False),   # flat path with b % bb != 0 (pads to 8)
+        (8, 16, 64, 2, True),    # flat path, causal masking
+    ],
+)
+def test_flat_qkv_matches_reference(rng, b, s, h, nh, causal):
+    from conftest import TOL
+
+    from clip_tpu.ops.attention_pallas import _flat_block_b, mha_pallas_qkv
+
+    assert _flat_block_b(b, s) is not None
+    q = rng.normal(size=(b, s, h)).astype(np.float32)
+    k = rng.normal(size=(b, s, h)).astype(np.float32)
+    v = rng.normal(size=(b, s, h)).astype(np.float32)
+    qkv = jnp.concatenate([jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)], axis=-1)
+    scale = (h / nh) ** -0.5
+    out = mha_pallas_qkv(qkv, n_head=nh, scale=scale, causal=causal, interpret=True)
+    ref = ref_mha(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), nh, scale, causal)
+    # TPU tolerance: the reference einsum itself runs as single-pass bf16 MXU
+    # dots there (see conftest)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, **TOL)
