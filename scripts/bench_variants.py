@@ -25,10 +25,11 @@ from clip_tpu.models.vision import encode_image
 from clip_tpu.synth import make_synthetic_gguf
 from clip_tpu.utils import enable_compile_cache
 
+# per-variant throughput-knee batches (round-2 sweeps on v6e-class chip)
 BATCHES = {
-    "ViT-B/32": 256,
-    "ViT-B/16": 128,
-    "ViT-L/14": 64,
+    "ViT-B/32": 448,
+    "ViT-B/16": 192,
+    "ViT-L/14": 128,
     "ViT-L/14-336": 32,
     "ViT-H/14": 32,
 }
