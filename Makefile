@@ -20,6 +20,9 @@ bench-variants:      ## throughput table across all model variants
 smoke-multihost:     ## 2-process jax.distributed validation (CPU)
 	$(PY) scripts/multihost_cpu_smoke.py
 
+smoke-multihost-serve: ## 2-host HTTP serving over one global mesh (CPU)
+	$(PY) scripts/multihost_serve_smoke.py
+
 native:              ## (re)build the C++ preprocessing library
 	$(PY) -c "from clip_tpu import native; native._build() and print('built', native._LIB)"
 

@@ -8,6 +8,12 @@ Endpoints (JSON):
 
 Concurrent requests from many clients are merged into device batches by
 clip_tpu.serving.ContinuousBatcher, keeping the chip saturated.
+
+Multi-host mode (``--distributed``): every host of a jax.distributed cluster
+runs this server on its own port; requests ingested anywhere are encoded
+collectively over the ONE global (data, model) mesh via
+clip_tpu.serving.MultiHostBatcher (each host feeds its slice of the global
+batch).  Shutting any host down stops the whole cluster cleanly.
 """
 
 from __future__ import annotations
@@ -21,7 +27,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 from ..engine import ClipEngine, softmax_with_sorting
-from ..serving import ContinuousBatcher
+from ..serving import ContinuousBatcher, MultiHostBatcher
 from .common import base_parser
 
 
@@ -38,7 +44,8 @@ def _decode_image(b64: str) -> np.ndarray:
         return np.asarray(im.convert("RGB"))
 
 
-def make_handler(engine: ClipEngine, batcher: ContinuousBatcher, timeout_s: float = 600.0):
+def make_handler(engine: ClipEngine, batcher, timeout_s: float = 600.0,
+                 shutdown_cb=None):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, obj) -> None:
             body = json.dumps(obj).encode()
@@ -74,6 +81,9 @@ def make_handler(engine: ClipEngine, batcher: ContinuousBatcher, timeout_s: floa
                     futs = [batcher.submit_image(im, norm) for im in imgs]
                     vecs = [f.result(timeout_s).tolist() for f in futs]
                     self._send(200, {"embeddings": vecs})
+                elif self.path == "/shutdown" and shutdown_cb is not None:
+                    self._send(200, {"status": "shutting down"})
+                    shutdown_cb()
                 elif self.path == "/v1/zsl":
                     img = _decode_image(req["image_b64"])
                     labels = req["labels"]
@@ -126,6 +136,29 @@ def _warmup(engine: ClipEngine, max_batch: int) -> None:
               file=sys.stderr, flush=True)
 
 
+def _warmup_distributed(engine: ClipEngine, max_local: int) -> None:
+    """Collective warmup: every host runs the same bucket ladder in the same
+    order (single-host encode_* cannot feed a cross-process mesh)."""
+    import time as _time
+
+    b = 1
+    buckets = []
+    while b <= max_local:
+        buckets.append(b)
+        b *= 2
+    size = engine.image_size if engine.config.has_vision else 0
+    for b in buckets:
+        t0 = _time.perf_counter()
+        for normalize in (True, False):
+            if engine.config.has_vision:
+                engine.encode_image_collective(
+                    np.zeros((b, size, size, 3), np.float32), normalize=normalize)
+            if engine.config.has_text:
+                engine.encode_text_collective(["warmup"] * b, normalize=normalize)
+        print(f"warmup: local bucket {b} compiled in {_time.perf_counter()-t0:.1f}s",
+              file=sys.stderr, flush=True)
+
+
 def main(argv=None) -> int:
     p = base_parser("clip-tpu-serve", __doc__, needs_text=False, needs_image=False)
     p.add_argument("--host", default="127.0.0.1")
@@ -144,15 +177,64 @@ def main(argv=None) -> int:
     p.add_argument("--warmup", action="store_true",
                    help="precompile every batch bucket up to --max-batch at "
                         "startup so no request ever waits on XLA")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host serving: join a jax.distributed cluster "
+                        "(see --coordinator/--num-processes/--process-id or "
+                        "the JAX_* env vars) and batch requests over the "
+                        "global mesh")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator host:port (distributed mode)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--allow-shutdown", action="store_true",
+                   help="enable POST /shutdown (stops every host of a "
+                        "distributed cluster together)")
     args = p.parse_args(argv)
 
-    engine = ClipEngine(args.model, verbosity=args.verbosity, unroll=args.unroll)
-    with ContinuousBatcher(engine, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-                           device_preprocess=args.device_preprocess) as batcher:
+    import threading
+
+    mesh = None
+    if args.distributed:
+        from ..parallel import distributed, make_mesh
+
+        distributed.initialize(args.coordinator, args.num_processes, args.process_id)
+        mesh = make_mesh()
+
+    engine = ClipEngine(args.model, verbosity=args.verbosity, unroll=args.unroll,
+                        mesh=mesh)
+
+    server_holder: list = []
+
+    def stop_all():
+        # shut the HTTP loop down off-thread (shutdown() from a handler
+        # thread deadlocks serve_forever)
+        if server_holder:
+            threading.Thread(target=server_holder[0].shutdown, daemon=True).start()
+
+    if args.distributed:
+        if args.warmup:
+            # BEFORE the batcher: its tick loop issues collectives from the
+            # driver thread, and two threads doing collectives deadlock
+            _warmup_distributed(engine, args.max_batch)
+        batcher = MultiHostBatcher(engine, max_local=args.max_batch,
+                                   tick_ms=args.max_wait_ms, on_stop=stop_all)
+
+        def request_shutdown():
+            batcher._stop.set()  # the tick loop broadcasts it to every host
+    else:
+        batcher = ContinuousBatcher(engine, max_batch=args.max_batch,
+                                    max_wait_ms=args.max_wait_ms,
+                                    device_preprocess=args.device_preprocess)
+        request_shutdown = stop_all
+
+    with batcher:
         # bind before warmup: fail fast on a busy port instead of after
         # minutes of compilation
-        server = _Server((args.host, args.port), make_handler(engine, batcher, args.request_timeout))
-        if args.warmup:
+        server = _Server((args.host, args.port), make_handler(
+            engine, batcher, args.request_timeout,
+            shutdown_cb=request_shutdown if args.allow_shutdown else None))
+        server_holder.append(server)
+        if args.warmup and not args.distributed:
             if args.device_preprocess:
                 print("warning: --warmup cannot precompile the "
                       "--device-preprocess image path (it compiles per "
@@ -163,7 +245,8 @@ def main(argv=None) -> int:
         try:
             server.serve_forever()
         except KeyboardInterrupt:
-            pass
+            if args.distributed:
+                batcher._stop.set()
         finally:
             server.shutdown()
     return 0

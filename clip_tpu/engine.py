@@ -461,6 +461,72 @@ class ClipEngine:
             return pmesh.shard_batch(jnp.asarray(x), self.mesh)
         return jnp.asarray(x)
 
+    # -- multi-host collective encode -----------------------------------------
+    #
+    # Multi-controller SPMD: every process calls these with the SAME local
+    # batch shape in the same order (the serving tick protocol guarantees
+    # that); each host contributes its rows of the global data-sharded batch
+    # and gets its own rows back.  Requires a mesh whose data axis is
+    # process-major (make_mesh default over jax.devices()).
+
+    def _collective_rows(self, local_b: int) -> int:
+        """Per-host padded row count: deterministic given local_b, so every
+        process computes the same global shape.  Bucketed through the same
+        power-of-two ladder as single-host encodes so serving hits a bounded
+        set of compiled programs."""
+        import jax
+
+        nproc = jax.process_count()
+        g = self._bucket(max(local_b, 1) * nproc)
+        return g // nproc
+
+    def _encode_collective(self, fn, tower: str, arrays: "list[np.ndarray]", local_b: int):
+        import jax
+        from jax.experimental import multihost_utils
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        nproc = jax.process_count()
+        rows = self._collective_rows(local_b)
+        garrs = []
+        for arr in arrays:
+            if arr.shape[0] != rows:
+                pad = np.zeros((rows - arr.shape[0],) + arr.shape[1:], arr.dtype)
+                arr = np.concatenate([arr, pad], axis=0) if arr.shape[0] else pad
+            spec = P(pmesh.DATA_AXIS, *([None] * (arr.ndim - 1)))
+            garrs.append(jax.make_array_from_process_local_data(
+                NamedSharding(self.mesh, spec), arr,
+                (rows * nproc,) + arr.shape[1:]))
+        out = fn(self.params[tower], *garrs)
+        emb = np.asarray(multihost_utils.process_allgather(out, tiled=True))
+        start = jax.process_index() * rows
+        return emb[start:start + local_b].astype(np.float32)
+
+    def encode_image_collective(self, local_pixels: np.ndarray, *,
+                                normalize: bool = True) -> np.ndarray:
+        """Collective multi-host encode of this host's preprocessed float32
+        NHWC rows.  ALL processes must call with the same row count."""
+        if self.mesh is None:
+            raise RuntimeError("collective encode requires a device mesh")
+        local_pixels = np.asarray(local_pixels, np.float32)
+        b = local_pixels.shape[0]
+        return self._encode_collective(
+            self._vision_fn(normalize), "vision", [local_pixels], b)
+
+    def encode_text_collective(self, texts, *, normalize: bool = True) -> np.ndarray:
+        """Collective multi-host encode of this host's texts (strings or
+        token-id lists).  ALL processes must call with the same count."""
+        if self.mesh is None:
+            raise RuntimeError("collective encode requires a device mesh")
+        n_pos = self.config.text.num_positions
+        b = len(texts)
+        ids = np.full((b, n_pos), self.tokenizer.eos_id, np.int32)
+        lengths = np.ones(b, np.int32)
+        for i, t in enumerate(texts):
+            toks = self.tokenize(t) if isinstance(t, str) else list(t)
+            ids[i], lengths[i] = self.tokenizer.pad(toks, n_pos)
+        return self._encode_collective(
+            self._text_fn(normalize), "text", [ids, lengths], b)
+
     def encode_class_names(self, names, *, templates=None) -> np.ndarray:
         """Class-name text embeddings for zero-shot classification.
 

@@ -1,3 +1,4 @@
 from .batcher import BatcherStats, ContinuousBatcher
+from .multihost import MultiHostBatcher
 
-__all__ = ["BatcherStats", "ContinuousBatcher"]
+__all__ = ["BatcherStats", "ContinuousBatcher", "MultiHostBatcher"]

@@ -75,3 +75,30 @@ def test_error_propagation(engine):
         # lane survives the error
         v = b.encode_text("tok1")
         assert v.shape == (32,)
+
+
+def test_multihost_batcher_single_process(tmp_path_factory, rng):
+    """MultiHostBatcher's tick protocol (count allgather, bucket agreement,
+    dummy-row padding, future resolution) on a single-process mesh; the real
+    2-process HTTP path is scripts/multihost_serve_smoke.py."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device platform")
+    from clip_tpu.parallel import make_mesh
+    from clip_tpu.serving import MultiHostBatcher
+
+    path, _ = tiny_gguf(tmp_path_factory.mktemp("mh"), use_f32=True)
+    eng = ClipEngine(path, mesh=make_mesh(), verbosity=0)
+    base = ClipEngine(path, verbosity=0)
+    img = (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+    with MultiHostBatcher(eng, max_local=8, tick_ms=5) as b:
+        futs = [b.submit_text(t) for t in ("tok1", "tok2 tok1", "tok2")]
+        fimg = b.submit_image(img)
+        fraw = b.submit_text("tok1", normalize=False)
+        got = np.stack([f.result(60) for f in futs])
+        ref = base.encode_text(["tok1", "tok2 tok1", "tok2"])
+        np.testing.assert_allclose(got, ref, **TOL)
+        np.testing.assert_allclose(fimg.result(60), base.encode_image(img), **TOL)
+        np.testing.assert_allclose(
+            fraw.result(60), base.encode_text("tok1", normalize=False), **TOL)
+        assert b.stats["text_norm"]["requests"] == 3
+    base.close(); eng.close()
