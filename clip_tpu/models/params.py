@@ -68,20 +68,28 @@ def _load_tensor(reader: GGUFReader, name: str, keep_quantized: bool, dtype) -> 
 
 def _stack(leaves: list[Any]) -> Any:
     if isinstance(leaves[0], QTensor):
-        q = np.stack([l.q for l in leaves])
-        d = np.stack([l.d for l in leaves])
-        m = None if leaves[0].m is None else np.stack([l.m for l in leaves])
-        return QTensor(q=q, d=d, m=m, qtype=leaves[0].qtype)
+        return QTensor(
+            q=np.stack([l.q for l in leaves]),
+            d=np.stack([l.d for l in leaves]),
+            m=None if leaves[0].m is None else np.stack([l.m for l in leaves]),
+            qtype=leaves[0].qtype,
+            hb=None if leaves[0].hb is None else np.stack([l.hb for l in leaves]),
+        )
     return np.stack(leaves)
 
 
 def _concat_rows(leaves: list[Any]) -> Any:
     """Concatenate [N_i, K]-shaped tensors along N (QTensor-aware)."""
     if isinstance(leaves[0], QTensor):
-        q = np.concatenate([l.q for l in leaves], axis=0)
-        d = np.concatenate([l.d for l in leaves], axis=0)
-        m = None if leaves[0].m is None else np.concatenate([l.m for l in leaves], axis=0)
-        return QTensor(q=q, d=d, m=m, qtype=leaves[0].qtype)
+        return QTensor(
+            q=np.concatenate([l.q for l in leaves], axis=0),
+            d=np.concatenate([l.d for l in leaves], axis=0),
+            m=None if leaves[0].m is None
+            else np.concatenate([l.m for l in leaves], axis=0),
+            qtype=leaves[0].qtype,
+            hb=None if leaves[0].hb is None
+            else np.concatenate([l.hb for l in leaves], axis=0),
+        )
     return np.concatenate(leaves, axis=0)
 
 

@@ -20,8 +20,10 @@ small activation tensor and is done once, outside the kernel, by XLA.
 Each 32-element quantization block maps to 16 contiguous even + 16 contiguous
 odd elements, so per-block scales broadcast with a plain reshape.
 
-5-bit and 8-bit formats store byte-aligned codes ([N, K] uint8/int8) and use
-a single unsplit dot.
+q5_0/q5_1 use the same even/odd nibble split for their low 4 bits plus a
+little-endian high-bit plane ([N, K/8]) expanded in-kernel (see
+``_kernel_packed5``) — 5.625 bits/element of HBM weight traffic.  q8_0
+stores byte-aligned int8 codes and uses a single unsplit dot.
 """
 
 from __future__ import annotations
@@ -98,6 +100,54 @@ def _kernel_packed4(x_even_ref, x_odd_ref, q_ref, d_ref, m_ref, o_ref, *, zero_p
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
+def _kernel_packed5(x_even_ref, x_odd_ref, q_ref, hb_ref, d_ref, m_ref, o_ref,
+                    *, zero_point, has_min):
+    """q5 tile: nibble-packed low bits [BN, K/2] + high-bit plane [BN, K/8].
+
+    The plane is expanded to the even/odd element streams with the same
+    MXU-matmul repeat used for scales (each byte covers 4 even + 4 odd
+    elements), then the per-element bit is selected by a lane-cyclic shift:
+    even element t sits at bit 2*(t%4) of plane byte t//4, odd at 2*(t%4)+1.
+    """
+    q = q_ref[:]
+    bn, kh = q.shape
+    dtype = x_even_ref.dtype
+
+    d = d_ref[:].astype(jnp.float32)
+    d16 = _expand_scales(d, 16, bn, d.shape[1]).astype(dtype)
+
+    qi = q.astype(jnp.int32)
+    lo = qi & 0x0F
+    hi = qi >> 4
+
+    # u8 -> i32 -> f32 (Mosaic lacks a direct u8->f32 cast), expand, back
+    plane = _expand_scales(
+        hb_ref[:].astype(jnp.int32).astype(jnp.float32), 4, bn, hb_ref.shape[1])
+    plane = plane.astype(jnp.int32)                     # [BN, K/2], exact <=255
+    tpos = jax.lax.broadcasted_iota(jnp.int32, (bn, kh), 1) % 4
+    bit_even = (plane >> (2 * tpos)) & 1
+    bit_odd = (plane >> (2 * tpos + 1)) & 1
+
+    w_even = (lo | (bit_even << 4)).astype(dtype)
+    w_odd = (hi | (bit_odd << 4)).astype(dtype)
+    if zero_point:
+        w_even = w_even - jnp.asarray(zero_point, dtype)
+        w_odd = w_odd - jnp.asarray(zero_point, dtype)
+    w_even = w_even * d16
+    w_odd = w_odd * d16
+    if has_min:
+        m16 = _expand_scales(m_ref[:].astype(jnp.float32), 16, bn, d.shape[1]).astype(dtype)
+        w_even = w_even + m16
+        w_odd = w_odd + m16
+
+    contract = (((1,), (1,)), ((), ()))
+    acc = jax.lax.dot_general(x_even_ref[:], w_even, contract,
+                              preferred_element_type=jnp.float32)
+    acc = acc + jax.lax.dot_general(x_odd_ref[:], w_odd, contract,
+                                    preferred_element_type=jnp.float32)
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
 def _kernel_bytes(x_ref, q_ref, d_ref, m_ref, o_ref, *, zero_point, has_min):
     """Byte-aligned codes: q [BN, K] uint8/int8, d/m [BN, K/32]."""
     q = q_ref[:]
@@ -147,12 +197,14 @@ def qmatmul_pallas(
     if mp != m:
         x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
 
-    q, d, mmin = w.q, w.d, w.m
+    q, d, mmin, hb = w.q, w.d, w.m, w.hb
     if np_ != n:
         q = jnp.pad(q, ((0, np_ - n), (0, 0)))
         d = jnp.pad(d, ((0, np_ - n), (0, 0)))
         if mmin is not None:
             mmin = jnp.pad(mmin, ((0, np_ - n), (0, 0)))
+        if hb is not None:
+            hb = jnp.pad(hb, ((0, np_ - n), (0, 0)))
     has_min = mmin is not None
     if mmin is None:
         mmin = d  # placeholder operand (ignored by the kernel)
@@ -189,6 +241,34 @@ def qmatmul_pallas(
                 transcendentals=0,
             ),
         )(x_even, x_odd, q, d, mmin)
+    elif w.is_packed5:
+        xe = x2.reshape(mp, k // 2, 2)
+        x_even = xe[:, :, 0]
+        x_odd = xe[:, :, 1]
+        kernel = functools.partial(
+            _kernel_packed5, zero_point=w.zero_point, has_min=has_min
+        )
+        hb_spec = pl.BlockSpec((bn, k // 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+        y = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, k // 2), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, k // 2), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, k // 2), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+                hb_spec,
+                d_spec,
+                d_spec,
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * mp * k * np_,
+                bytes_accessed=mp * k + np_ * (k // 2 + k // 8) + mp * np_ * 2,
+                transcendentals=0,
+            ),
+        )(x_even, x_odd, q, hb, d, mmin)
     else:
         kernel = functools.partial(
             _kernel_bytes, zero_point=w.zero_point, has_min=has_min

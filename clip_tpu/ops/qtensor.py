@@ -11,8 +11,12 @@ matching the GGUF on-disk blocking):
   in its low nibble and ``2j+1`` in its high nibble (sequential order — we
   repack from ggml's j/j+16 interleave at load time so in-kernel unpacking
   needs no lane shuffles).
-* q5_0 / q5_1 — ``q``: uint8 ``[..., K]`` codes in [0, 31] (5-bit codes don't
-  pack into nibbles; byte-aligned storage keeps loads trivial).
+* q5_0 / q5_1 — ``q``: the 4 LOW bits nibble-packed exactly like q4
+  (uint8 ``[..., K/2]``) plus ``hb``: the high bit as a little-endian bit
+  plane (uint8 ``[..., K/8]``, bit ``e % 8`` of byte ``e // 8``).  5.625
+  bits/element of HBM traffic instead of the 8 a byte-aligned layout costs —
+  the bandwidth win that motivates 5-bit formats (ggml packs the same two
+  planes per block, clip.cpp q5 block layout / SURVEY §2 #3).
 * q8_0 — ``q``: int8 ``[..., K]``.
 
 ``d`` (scale) and ``m`` (min, only q4_1/q5_1) are float32 ``[..., K/32]``;
@@ -52,14 +56,15 @@ class QTensor:
     d: Any                 # float32 scales [..., K/32]
     m: Any                 # float32 mins [..., K/32] or None
     qtype: GGMLType        # static
+    hb: Any = None         # high-bit plane uint8 [..., K/8] (q5 only)
 
     def tree_flatten(self):
-        return (self.q, self.d, self.m), self.qtype
+        return (self.q, self.d, self.m, self.hb), self.qtype
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        q, d, m = children
-        return cls(q=q, d=d, m=m, qtype=aux)
+        q, d, m, hb = children
+        return cls(q=q, d=d, m=m, qtype=aux, hb=hb)
 
     @property
     def shape(self) -> tuple[int, ...]:
@@ -71,6 +76,10 @@ class QTensor:
         return self.qtype in (GGMLType.Q4_0, GGMLType.Q4_1)
 
     @property
+    def is_packed5(self) -> bool:
+        return self.qtype in (GGMLType.Q5_0, GGMLType.Q5_1)
+
+    @property
     def zero_point(self) -> int:
         return _ZERO_POINT[self.qtype]
 
@@ -79,6 +88,8 @@ class QTensor:
         n = self.q.size * self.q.dtype.itemsize + self.d.size * self.d.dtype.itemsize
         if self.m is not None:
             n += self.m.size * self.m.dtype.itemsize
+        if self.hb is not None:
+            n += self.hb.size * self.hb.dtype.itemsize
         return n
 
 
@@ -99,11 +110,16 @@ def from_ggml_blocks(
     nb_per_row = k // QK
 
     codes = f.q.reshape(*lead, k)  # element order
+    hb = None
     if qtype in (GGMLType.Q4_0, GGMLType.Q4_1):
         pairs = codes.reshape(*lead, k // 2, 2).astype(np.uint8)
         q = (pairs[..., 0] | (pairs[..., 1] << 4)).astype(np.uint8)
     elif qtype in (GGMLType.Q5_0, GGMLType.Q5_1):
-        q = codes.astype(np.uint8)
+        lo = (codes & 0x0F).astype(np.uint8)
+        pairs = lo.reshape(*lead, k // 2, 2)
+        q = (pairs[..., 0] | (pairs[..., 1] << 4)).astype(np.uint8)
+        bits = (codes >> 4).astype(np.uint8)          # the 5th bit, 0/1
+        hb = np.packbits(bits, axis=-1, bitorder="little")  # [..., K/8]
     else:
         q = codes.astype(np.int8)
 
@@ -111,16 +127,23 @@ def from_ggml_blocks(
     m = None
     if f.m is not None:
         m = f.m.astype(np.float32).reshape(*lead, nb_per_row)
-    return QTensor(q=q, d=d, m=m, qtype=qtype)
+    return QTensor(q=q, d=d, m=m, qtype=qtype, hb=hb)
 
 
 def unpack_codes(qt: QTensor) -> jnp.ndarray:
     """Return integer codes in element order, shape ``[..., K]`` (XLA ops)."""
     q = qt.q
-    if qt.is_packed4:
+    if qt.is_packed4 or qt.is_packed5:
         lo = q & np.uint8(0x0F)
         hi = q >> np.uint8(4)
         q = jnp.stack([lo, hi], axis=-1).reshape(*q.shape[:-1], q.shape[-1] * 2)
+    if qt.is_packed5:
+        k = q.shape[-1]
+        plane = jnp.repeat(qt.hb, 8, axis=-1).astype(jnp.int32)
+        shifts = (jnp.arange(k, dtype=jnp.int32) % 8)[
+            (None,) * (q.ndim - 1) + (slice(None),)]
+        bit = (plane >> shifts) & 1
+        q = q.astype(jnp.int32) | (bit << 4)
     return q
 
 
@@ -136,6 +159,7 @@ def take_rows(qt_or_arr, ids, dtype=jnp.float32) -> jnp.ndarray:
         d=jnp.take(qt.d, ids, axis=0, mode="clip"),
         m=None if qt.m is None else jnp.take(qt.m, ids, axis=0, mode="clip"),
         qtype=qt.qtype,
+        hb=None if qt.hb is None else jnp.take(qt.hb, ids, axis=0, mode="clip"),
     )
     return dequant(sub, dtype=dtype)
 

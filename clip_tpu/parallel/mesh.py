@@ -80,7 +80,8 @@ def param_specs(params: Any, n_model: int) -> Any:
         if isinstance(node, QTensor):
             spec = _leaf_spec(path, node, n_model)
             mspec = None if node.m is None else spec
-            return QTensor(q=spec, d=spec, m=mspec, qtype=node.qtype)
+            hspec = None if node.hb is None else spec
+            return QTensor(q=spec, d=spec, m=mspec, qtype=node.qtype, hb=hspec)
         return _leaf_spec(path, node, n_model)
 
     return walk(params, ())
@@ -115,16 +116,21 @@ def _shard_tree(params, specs, mesh):
     if isinstance(params, dict):
         return {k: _shard_tree(params[k], specs[k], mesh) for k in params}
     if isinstance(params, QTensor):
-        # all-or-nothing: q/d/m must shard consistently or dequant misaligns
+        # all-or-nothing: q/d/m/hb must shard consistently or dequant misaligns
         ok = _divisible(params.q, specs.q, mesh) and _divisible(params.d, specs.d, mesh)
         if params.m is not None:
             ok = ok and _divisible(params.m, specs.m, mesh)
-        qs, ds, ms = (specs.q, specs.d, specs.m) if ok else (P(), P(), P())
+        if params.hb is not None:
+            ok = ok and _divisible(params.hb, specs.hb, mesh)
+        qs, ds, ms, hs = (
+            (specs.q, specs.d, specs.m, specs.hb) if ok else (P(), P(), P(), P())
+        )
         return QTensor(
             q=_put(params.q, qs, mesh),
             d=_put(params.d, ds, mesh),
             m=None if params.m is None else _put(params.m, ms, mesh),
             qtype=params.qtype,
+            hb=None if params.hb is None else _put(params.hb, hs, mesh),
         )
     return _put(params, specs, mesh)
 
@@ -170,6 +176,7 @@ def _permute_rows(w, idx):
             d=np.asarray(w.d)[:, idx],
             m=None if w.m is None else np.asarray(w.m)[:, idx],
             qtype=w.qtype,
+            hb=None if w.hb is None else np.asarray(w.hb)[:, idx],
         )
     return np.asarray(w)[:, idx]
 
@@ -219,6 +226,8 @@ def spmd_compatible(params: Any, mesh: Mesh, n_heads: dict) -> bool:
             good = _divisible(node.q, spec.q, mesh) and _divisible(node.d, spec.d, mesh)
             if node.m is not None:
                 good = good and _divisible(node.m, spec.m, mesh)
+            if node.hb is not None:
+                good = good and _divisible(node.hb, spec.hb, mesh)
             return good
         if node is None:
             return True

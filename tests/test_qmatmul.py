@@ -72,3 +72,28 @@ def test_auto_backend_on_cpu_is_xla(rng):
     out = np.asarray(qmatmul(x, qt))
     ref = np.asarray(x) @ np.asarray(dequant(qt, jnp.float32)).T
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_q5_device_layout_is_packed(rng):
+    """q5 codes must live packed on device: 4 low bits as nibbles [N, K/2]
+    plus a little-endian high-bit plane [N, K/8] — 5.625 bits/element of
+    weight traffic instead of byte-aligned 8 (the bandwidth reason 5-bit
+    formats exist; ggml packs the same two planes, clip.cpp q5 blocks)."""
+    n, k = 64, 128
+    for qtype in (GGMLType.Q5_0, GGMLType.Q5_1):
+        wf, qt = make_qt(rng, n, k, qtype)
+        assert qt.q.shape == (n, k // 2) and qt.q.dtype == np.uint8
+        assert qt.hb is not None and qt.hb.shape == (n, k // 8)
+        expected_code_bits = (k // 2 + k // 8) * 8 / k
+        assert expected_code_bits == 5.0
+        # dequant must remain bit-identical to the numpy oracle
+        from clip_tpu.quant import dequantize
+        ref = dequantize(quantize(wf, qtype), qtype).reshape(n, k)
+        got = np.asarray(dequant(qt, jnp.float32))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_q4_q8_have_no_highbit_plane(rng):
+    for qtype in (GGMLType.Q4_0, GGMLType.Q8_0):
+        _, qt = make_qt(rng, 32, 64, qtype)
+        assert qt.hb is None
