@@ -35,7 +35,7 @@ orig_block = transformer.block
 
 
 def attn_no_core(x, lp, *, n_head, causal=False, compute_dtype=jnp.float32,
-                 attn_impl="auto"):
+                 attn_impl="auto", qmm_backend=None, tp_axis=None):
     qkv = linear(x, lp["qkv_w"], lp["qkv_b"], compute_dtype=compute_dtype)
     q = jnp.split(qkv, 3, axis=-1)[0]
     return linear(q, lp["o_w"], lp["o_b"], compute_dtype=compute_dtype)
@@ -46,7 +46,7 @@ def attn_skip(x, lp, **kw):
 
 
 def block_no_mlp(x, lp, *, n_head, eps, use_gelu, causal=False,
-                 compute_dtype=jnp.float32, attn_impl="auto"):
+                 compute_dtype=jnp.float32, attn_impl="auto", qmm_backend=None, tp_axis=None):
     h = layernorm(x, lp["ln1_w"], lp["ln1_b"], eps)
     return x + transformer.attention(
         h, lp, n_head=n_head, causal=causal,
@@ -54,7 +54,7 @@ def block_no_mlp(x, lp, *, n_head, eps, use_gelu, causal=False,
 
 
 def block_ln_only(x, lp, *, n_head, eps, use_gelu, causal=False,
-                  compute_dtype=jnp.float32, attn_impl="auto"):
+                  compute_dtype=jnp.float32, attn_impl="auto", qmm_backend=None, tp_axis=None):
     h = layernorm(x, lp["ln1_w"], lp["ln1_b"], eps)
     h = layernorm(h, lp["ln2_w"], lp["ln2_b"], eps)
     return x + h
