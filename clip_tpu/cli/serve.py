@@ -171,6 +171,10 @@ def main(argv=None) -> int:
     p.add_argument("--unroll", action="store_true",
                    help="unroll the layer stack: slower first compile, "
                         "slightly faster steady-state throughput")
+    p.add_argument("--dense-weights", action="store_true",
+                   help="dequantize weights to the compute dtype at load "
+                        "(throughput mode: ~8%% faster steady state than "
+                        "quantized-in-HBM, at 4x the weight memory)")
     p.add_argument("--device-preprocess", action="store_true",
                    help="fused uint8 on-device preprocessing (compiles per "
                         "input geometry — only for fixed-size clients)")
@@ -201,7 +205,7 @@ def main(argv=None) -> int:
         mesh = make_mesh()
 
     engine = ClipEngine(args.model, verbosity=args.verbosity, unroll=args.unroll,
-                        mesh=mesh)
+                        mesh=mesh, keep_quantized=not args.dense_weights)
 
     server_holder: list = []
 
