@@ -471,14 +471,18 @@ class ClipEngine:
 
     def _collective_rows(self, local_b: int) -> int:
         """Per-host padded row count: deterministic given local_b, so every
-        process computes the same global shape.  Bucketed through the same
-        power-of-two ladder as single-host encodes so serving hits a bounded
-        set of compiled programs."""
+        process computes the same global shape.  Bucketed through the
+        power-of-two ladder so serving hits a bounded set of compiled
+        programs, then rounded to this host's share of the data axis (the
+        global batch rows*nproc must divide n_data — computing the global
+        bucket first and flooring by nproc breaks for non-power-of-two host
+        counts)."""
         import jax
 
         nproc = jax.process_count()
-        g = self._bucket(max(local_b, 1) * nproc)
-        return g // nproc
+        m = max(1, self._batch_multiple // nproc)
+        rows = _bucket(max(local_b, 1))
+        return rows if rows % m == 0 else ((rows + m - 1) // m) * m
 
     def _encode_collective(self, fn, tower: str, arrays: "list[np.ndarray]", local_b: int):
         import jax
