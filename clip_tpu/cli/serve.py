@@ -146,6 +146,10 @@ def _warmup_distributed(engine: ClipEngine, max_local: int) -> None:
     while b <= max_local:
         buckets.append(b)
         b *= 2
+    if max_local not in buckets:
+        # non-power-of-two --max-batch: also warm the top shape the
+        # collective bucketing rounds a full tick to
+        buckets.append(max_local)
     size = engine.image_size if engine.config.has_vision else 0
     for b in buckets:
         t0 = _time.perf_counter()
@@ -208,14 +212,24 @@ def main(argv=None) -> int:
                         mesh=mesh, keep_quantized=not args.dense_weights)
 
     server_holder: list = []
+    server_ready = threading.Event()
 
     def stop_all():
         # shut the HTTP loop down off-thread (shutdown() from a handler
-        # thread deadlocks serve_forever)
-        if server_holder:
-            threading.Thread(target=server_holder[0].shutdown, daemon=True).start()
+        # thread deadlocks serve_forever); wait for the server to exist —
+        # another host's stop can propagate through the tick loop before
+        # this host has finished binding
+        def _do():
+            if server_ready.wait(timeout=600) and server_holder:
+                server_holder[0].shutdown()
+        threading.Thread(target=_do, daemon=True).start()
 
     if args.distributed:
+        if args.device_preprocess:
+            print("warning: --device-preprocess is not supported in "
+                  "--distributed mode (the multi-host batcher host-"
+                  "preprocesses so every rank sees one compiled geometry); "
+                  "ignoring", file=sys.stderr)
         if args.warmup:
             # BEFORE the batcher: its tick loop issues collectives from the
             # driver thread, and two threads doing collectives deadlock
@@ -238,6 +252,7 @@ def main(argv=None) -> int:
             engine, batcher, args.request_timeout,
             shutdown_cb=request_shutdown if args.allow_shutdown else None))
         server_holder.append(server)
+        server_ready.set()
         if args.warmup and not args.distributed:
             if args.device_preprocess:
                 print("warning: --warmup cannot precompile the "

@@ -102,6 +102,8 @@ class _Lane:
                 self.stats.n_batches += 1
                 self.stats.n_requests += len(group)
                 self.stats.batch_sizes.append(len(group))
+                if len(self.stats.batch_sizes) > 10000:  # bound /stats memory
+                    self.stats.batch_sizes = self.stats.batch_sizes[-1000:]
 
 
 class ContinuousBatcher:

@@ -63,21 +63,26 @@ class MultiHostBatcher:
         self._queues = {lane: queue.Queue() for lane in _LANES}
         self._stats = {lane: _LaneStats() for lane in _LANES}
         self._stop = threading.Event()
+        self._closed = False
         self._nproc = jax.process_count()
         self._driver = threading.Thread(target=self._run, name="mh-batcher", daemon=True)
         self._driver.start()
 
     # -- ContinuousBatcher-compatible API ------------------------------------
 
-    def submit_text(self, text, normalize: bool = True) -> Future:
+    def _submit(self, lane, payload) -> Future:
         fut: Future = Future()
-        self._queues[("text", bool(normalize))].put((text, fut))
+        if self._closed:
+            fut.set_exception(RuntimeError("server shutting down"))
+            return fut
+        self._queues[lane].put((payload, fut))
         return fut
 
+    def submit_text(self, text, normalize: bool = True) -> Future:
+        return self._submit(("text", bool(normalize)), text)
+
     def submit_image(self, image, normalize: bool = True) -> Future:
-        fut: Future = Future()
-        self._queues[("image", bool(normalize))].put((image, fut))
-        return fut
+        return self._submit(("image", bool(normalize)), image)
 
     def encode_text(self, text, normalize: bool = True, timeout: float | None = 60.0):
         return self.submit_text(text, normalize).result(timeout)
@@ -119,14 +124,55 @@ class MultiHostBatcher:
                 break
         return items
 
+    def _validate(self, lane, items) -> tuple[list, "np.ndarray | None"]:
+        """Host-local pre-validation BEFORE the count allgather.
+
+        A per-host exception raised after counts are exchanged but before the
+        collective runs would desynchronize the SPMD tick protocol (this host
+        skips the collective while every other host enters it) and hang the
+        cluster — so anything that can fail on one host's payload (type
+        checks, tokenization inputs, image preprocessing) happens here;
+        offending requests get their exception and are dropped from the tick.
+        Returns (good_items, preprocessed_pixels_or_None).
+        """
+        mod, _ = lane
+        if mod == "text":
+            good = []
+            for t, fut in items:
+                ok = isinstance(t, str) or (
+                    isinstance(t, (list, tuple))
+                    and all(isinstance(x, (int, np.integer)) for x in t)
+                )
+                if ok:
+                    good.append((t, fut))
+                else:
+                    fut.set_exception(TypeError(
+                        f"text payload must be str or token-id list, got {type(t)}"))
+            return good, None
+        good, pixel_rows = [], []
+        for im, fut in items:
+            try:
+                pixel_rows.append(self.engine.preprocess([np.asarray(im)]))
+            except Exception as e:
+                fut.set_exception(e)
+                continue
+            good.append((im, fut))
+        pixels = np.concatenate(pixel_rows, axis=0) if pixel_rows else None
+        return good, pixels
+
     def _run(self) -> None:
+        import sys
         import time
 
         from jax.experimental import multihost_utils
 
         eng = self.engine
         while True:
-            pending = {lane: self._drain(lane) for lane in _LANES}
+            pending = {}
+            pixels_by_lane = {}
+            for lane in _LANES:
+                pending[lane], pixels_by_lane[lane] = self._validate(
+                    lane, self._drain(lane))
             counts = np.asarray(
                 [len(pending[lane]) for lane in _LANES]
                 + [1 if self._stop.is_set() else 0],
@@ -149,13 +195,10 @@ class MultiHostBatcher:
                         payloads += [""] * (n_rows - len(payloads))
                         vecs = eng.encode_text_collective(payloads, normalize=norm)
                     else:
-                        imgs = [im for im, _ in items]
                         size = eng.image_size
-                        pixels = (
-                            eng.preprocess(imgs)
-                            if imgs
-                            else np.zeros((0, size, size, 3), np.float32)
-                        )
+                        pixels = pixels_by_lane[lane]
+                        if pixels is None:
+                            pixels = np.zeros((0, size, size, 3), np.float32)
                         if pixels.shape[0] < n_rows:
                             pad = np.zeros((n_rows - pixels.shape[0], size, size, 3),
                                            np.float32)
@@ -164,6 +207,12 @@ class MultiHostBatcher:
                     for (_, fut), v in zip(items, vecs):
                         fut.set_result(np.asarray(v))
                 except Exception as e:
+                    # a failure INSIDE the collective is systemic (every host
+                    # runs the same program); tear the cluster down rather
+                    # than tick on with desynchronized state
+                    print(f"multihost batcher: collective failed ({e!r}); "
+                          f"stopping cluster", file=sys.stderr, flush=True)
+                    self._stop.set()
                     for _, fut in items:
                         if not fut.done():
                             fut.set_exception(e)
@@ -171,12 +220,19 @@ class MultiHostBatcher:
                 st.n_batches += 1
                 st.n_requests += len(items)
                 st.batch_sizes.append(len(items))
+                if len(st.batch_sizes) > 10000:   # bound /stats memory
+                    st.batch_sizes = st.batch_sizes[-1000:]
 
             if gmax[-1]:  # any host shutting down: all hosts leave together
                 self._stop.set()
+                self._closed = True
                 for lane in _LANES:
-                    for _, fut in self._drain(lane):
-                        fut.set_exception(RuntimeError("server shutting down"))
+                    while True:  # fail EVERY pending future, not one drain's worth
+                        rest = self._drain(lane)
+                        if not rest:
+                            break
+                        for _, fut in rest:
+                            fut.set_exception(RuntimeError("server shutting down"))
                 if self._on_stop is not None:
                     self._on_stop()
                 return

@@ -102,3 +102,32 @@ def test_multihost_batcher_single_process(tmp_path_factory, rng):
             fraw.result(60), base.encode_text("tok1", normalize=False), **TOL)
         assert b.stats["text_norm"]["requests"] == 3
     base.close(); eng.close()
+
+
+def test_multihost_batcher_bad_payload_is_host_local(tmp_path_factory, rng):
+    """A malformed request must fail ITS OWN future before the tick's count
+    allgather — never desynchronize the collective protocol (a post-count
+    exception on one host would hang every other host in the collective)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device platform")
+    from clip_tpu.parallel import make_mesh
+    from clip_tpu.serving import MultiHostBatcher
+
+    path, _ = tiny_gguf(tmp_path_factory.mktemp("mhbad"), use_f32=True)
+    eng = ClipEngine(path, mesh=make_mesh(), verbosity=0)
+    base = ClipEngine(path, verbosity=0)
+    with MultiHostBatcher(eng, max_local=8, tick_ms=5) as b:
+        bad = b.submit_text(123)                   # not a str / id list
+        bad_img = b.submit_image("not an image")   # preprocess will raise
+        good = b.submit_text("tok1")
+        with pytest.raises(TypeError):
+            bad.result(60)
+        with pytest.raises(Exception):
+            bad_img.result(60)
+        # the cluster is still alive and serving
+        np.testing.assert_allclose(
+            good.result(60), base.encode_text("tok1"), **TOL)
+        after = b.submit_text("tok2")
+        np.testing.assert_allclose(
+            after.result(60), base.encode_text("tok2"), **TOL)
+    base.close(); eng.close()
