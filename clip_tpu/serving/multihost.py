@@ -75,6 +75,15 @@ class MultiHostBatcher:
         if self._closed:
             fut.set_exception(RuntimeError("server shutting down"))
             return fut
+        # single-tower checkpoints: fail fast here — raising inside the
+        # collective section would tear the whole cluster down
+        mod = lane[0]
+        cfg = self.engine.config
+        if (mod == "text" and not cfg.has_text) or (
+                mod == "image" and not cfg.has_vision):
+            fut.set_exception(RuntimeError(
+                f"this checkpoint has no {mod} encoder"))
+            return fut
         self._queues[lane].put((payload, fut))
         return fut
 
