@@ -19,7 +19,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention_pallas import mha_pallas_qkv
+from ..ops.attention_pallas import _flat_block_b, mha_pallas_qkv
 from ..ops.linear import linear
 from ..ops.nn import gelu_quick, gelu_tanh, layernorm, softmax
 
@@ -68,12 +68,25 @@ def attention(
     d_head = h // n_head
     scale = 1.0 / (d_head ** 0.5)
 
-    qkv = linear(x, lp["qkv_w"], lp["qkv_b"], compute_dtype=compute_dtype,
-                 backend=qmm_backend)
+    impl = resolve_attn_impl(attn_impl)
+    if impl == "pallas" and _flat_block_b(b, s) is not None:
+        # 2-D GEMM for the projection feeding the FLAT kernel: a rank-3 dot
+        # gets XLA's conv emitter whose {2,0,1} output layout forces a full
+        # relayout copy (~0.4 ms/layer at B/32 B=448) before the custom
+        # call's required {2,1,0} operand; the 2-D dot's output is already
+        # bitcast-compatible (bit-identical, +5% end-to-end).  The padded
+        # kernel path (S=197/257...) must NOT do this — there the pad
+        # rewrites the tensor anyway and losing the conv emitter costs
+        # 15-20% (measured at B/16 and L/14).
+        qkv = linear(x.reshape(b * s, h), lp["qkv_w"], lp["qkv_b"],
+                     compute_dtype=compute_dtype, backend=qmm_backend)
+        qkv = qkv.reshape(b, s, qkv.shape[-1])
+    else:
+        qkv = linear(x, lp["qkv_w"], lp["qkv_b"], compute_dtype=compute_dtype,
+                     backend=qmm_backend)
     h_loc = qkv.shape[-1] // 3
     n_head_loc = h_loc // d_head
 
-    impl = resolve_attn_impl(attn_impl)
     if impl == "pallas":
         # fused qkv goes straight into the kernel: no split/scale/pad passes
         out = mha_pallas_qkv(
