@@ -79,8 +79,13 @@ def main() -> None:
         )
     )
 
+    # pixels staged in bf16 on the host: the model's first op is the same
+    # cast anyway (bit-identical), and the transfer halves
     pixels = jax.device_put(
-        np.random.default_rng(0).normal(size=(BATCH, 224, 224, 3)).astype(np.float32)
+        np.random.default_rng(0)
+        .normal(size=(BATCH, 224, 224, 3))
+        .astype(np.float32)
+        .astype(jnp.bfloat16)
     )
 
     def round_time() -> float:

@@ -441,6 +441,11 @@ class ClipEngine:
         if bb != b:
             pad = np.repeat(pixels[-1:], bb - b, axis=0)
             pixels = np.concatenate([pixels, pad], axis=0)
+        # stage pixels in the compute dtype on the HOST: bf16 halves the
+        # host->device transfer and the model's first-op cast becomes a
+        # no-op — bit-identical (same rounding, just earlier)
+        if pixels.dtype != np.dtype(self.compute_dtype):
+            pixels = pixels.astype(self.compute_dtype)
         out = self._vision_fn(normalize)(self.params["vision"], self._put_batch(pixels))
         out = np.asarray(out[:b], dtype=np.float32)
         return out[0] if single else out
