@@ -49,7 +49,8 @@ def bench(variant: str) -> tuple[float, float]:
         load_params(reader, cfg, keep_quantized=True, dtype=jnp.bfloat16)["vision"])
     b = BATCHES[variant]
     px = jax.device_put(np.random.default_rng(0).normal(
-        size=(b, cfg.vision.image_size, cfg.vision.image_size, 3)).astype(np.float32))
+        size=(b, cfg.vision.image_size, cfg.vision.image_size, 3))
+        .astype(np.float32).astype(jnp.bfloat16))  # host-staged, bit-identical
     fn = jax.jit(functools.partial(
         encode_image, cfg=cfg.vision, use_gelu=cfg.use_gelu,
         normalize=True, compute_dtype=jnp.bfloat16, unroll=True))
