@@ -166,3 +166,33 @@ def test_reader_rejects_future_version(tmp_path):
     path.write_bytes(b"GGUF" + struct.pack("<IQQ", 9, 0, 0))
     with pytest.raises(ValueError, match="not supported"):
         GGUFReader(str(path))
+
+
+def test_reader_survives_fuzzed_input(tmp_path):
+    """Corrupt GGUF bytes must produce a clean ValueError (or parse, for
+    benign flips) — never a crash, hang, or unbounded allocation.  Role of
+    the reference's sanitizer builds for its loader (SURVEY §5)."""
+    import os
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    data = bytearray(open(os.path.join(fixdir, "header_v3.gguf"), "rb").read())
+
+    rng = np.random.default_rng(0)
+    cases = []
+    for cut in (5, 9, 13, 25, 60, 120, len(data) - 7):  # truncations
+        cases.append(bytes(data[:cut]))
+    for _ in range(60):  # random byte flips
+        mut = bytearray(data)
+        for _ in range(rng.integers(1, 4)):
+            mut[rng.integers(0, len(mut))] = rng.integers(0, 256)
+        cases.append(bytes(mut))
+
+    for i, blob in enumerate(cases):
+        p = tmp_path / f"fuzz_{i}.gguf"
+        p.write_bytes(blob)
+        try:
+            with GGUFReader(str(p)) as r:
+                for name in r.tensors:
+                    r.tensor_data(name)
+        except ValueError:
+            pass  # the expected clean rejection

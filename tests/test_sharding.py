@@ -149,3 +149,28 @@ def test_use_shard_map_true_rejects_incompatible(tiny_q):
     mesh = make_mesh(2, 4)
     with pytest.raises(ValueError, match="shard_map"):
         ClipEngine(tiny_q, mesh=mesh, use_shard_map=True, verbosity=0)
+
+
+def test_shard_map_q5_packed_planes(tiny_q, rng, tmp_path_factory):
+    """q5_0's packed device layout (nibble plane + high-bit plane) must
+    shard consistently under shard_map TP: all three planes split on the
+    same block-aligned boundaries or dequant misaligns."""
+    from clip_tpu.engine import ClipEngine
+    from clip_tpu.quantize import quantize_model
+
+    tmp = tmp_path_factory.mktemp("q5shard")
+    src, _ = tiny_gguf(tmp, use_f32=True)
+    q5 = str(tmp / "tiny.q5_0.gguf")
+    quantize_model(src, q5, "q5_0", verbose=False)
+
+    base = ClipEngine(q5, verbosity=0)
+    eng = ClipEngine(q5, mesh=make_mesh(4, 2), verbosity=0)
+    assert eng._spmd
+    pixels = rng.normal(size=(8, 28, 28, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        eng.encode_image(pixels, normalize=True, preprocessed=True),
+        base.encode_image(pixels, normalize=True, preprocessed=True),
+        atol=2e-5)
+    np.testing.assert_allclose(
+        eng.encode_text(["a", "b"]), base.encode_text(["a", "b"]), atol=2e-5)
+    base.close(); eng.close()
