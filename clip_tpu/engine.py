@@ -517,6 +517,10 @@ class ClipEngine:
         if self.mesh is None:
             raise RuntimeError("collective encode requires a device mesh")
         local_pixels = np.asarray(local_pixels, np.float32)
+        # same host-side compute-dtype staging as the single-host path:
+        # bit-identical, halves the pixel transfer per distributed tick
+        if local_pixels.dtype != np.dtype(self.compute_dtype):
+            local_pixels = local_pixels.astype(self.compute_dtype)
         b = local_pixels.shape[0]
         return self._encode_collective(
             self._vision_fn(normalize), "vision", [local_pixels], b)

@@ -19,7 +19,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention_pallas import _flat_block_b, mha_pallas_qkv
+from ..ops.attention_pallas import flat_eligible, mha_pallas_qkv
 from ..ops.linear import linear
 from ..ops.nn import gelu_quick, gelu_tanh, layernorm, softmax
 
@@ -69,7 +69,7 @@ def attention(
     scale = 1.0 / (d_head ** 0.5)
 
     impl = resolve_attn_impl(attn_impl)
-    if impl == "pallas" and _flat_block_b(b, s) is not None:
+    if impl == "pallas" and flat_eligible(b, s):
         # 2-D GEMM for the projection feeding the FLAT kernel: a rank-3 dot
         # gets XLA's conv emitter whose {2,0,1} output layout forces a full
         # relayout copy (~0.4 ms/layer at B/32 B=448) before the custom

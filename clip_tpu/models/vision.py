@@ -25,17 +25,6 @@ from .config import VisionConfig
 from .transformer import run_blocks
 
 
-def patchify(pixels: jnp.ndarray, patch: int) -> jnp.ndarray:
-    """NHWC [B, S, S, 3] -> [B, N_patches, 3*p*p] in (c, ky, kx) order,
-    matching the conv kernel layout [hidden, 3, p, p]."""
-    b, h, w, c = pixels.shape
-    gh, gw = h // patch, w // patch
-    x = pixels.reshape(b, gh, patch, gw, patch, c)
-    # -> [B, gh, gw, c, p1, p2]
-    x = x.transpose(0, 1, 3, 5, 2, 4)
-    return x.reshape(b, gh * gw, c * patch * patch)
-
-
 def patch_embed(pixels: jnp.ndarray, w4: jnp.ndarray, patch: int) -> jnp.ndarray:
     """Patch embedding as ONE multi-axis dot_general straight off the NHWC
     layout: contract (p1, p2, c) of the reshaped pixels against the conv

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["mha_pallas", "mha_pallas_qkv"]
+__all__ = ["flat_eligible", "mha_pallas", "mha_pallas_qkv"]
 
 NEG_INF = -1e9
 
@@ -172,6 +172,15 @@ def _flat_block_b(b: int, s: int) -> int | None:
     if bb * s > _FLAT_MAX_ROWS:
         return None
     return min(bb, b) if (min(bb, b) * s) % 8 == 0 else None
+
+
+def flat_eligible(b: int, s: int) -> bool:
+    """Public contract: True iff ``mha_pallas_qkv`` will take the flat
+    pad-free path for a [b, s, ...] input.  Callers that shape their
+    producers for the kernel's operand layout (models.transformer's 2-D qkv
+    projection) MUST use this — not a reimplementation — so the two can
+    never desynchronize."""
+    return _flat_block_b(b, s) is not None
 
 
 @functools.partial(

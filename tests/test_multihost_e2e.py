@@ -6,6 +6,7 @@ safe in TPU test mode.
 """
 
 import os
+import signal
 import subprocess
 import sys
 
@@ -13,11 +14,21 @@ _SCRIPTS = os.path.join(os.path.dirname(__file__), "..", "scripts")
 
 
 def _run(script: str) -> None:
-    r = subprocess.run(
+    # own session/process group: on timeout, kill the WHOLE group so the
+    # launcher's jax.distributed rank subprocesses can't leak as orphans
+    # (subprocess.run's timeout only kills the launcher)
+    p = subprocess.Popen(
         [sys.executable, os.path.join(_SCRIPTS, script)],
-        capture_output=True, text=True, timeout=540,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        start_new_session=True,
     )
-    assert r.returncode == 0, f"{script} failed:\n{r.stdout}\n{r.stderr}"
+    try:
+        out, err = p.communicate(timeout=540)
+    except subprocess.TimeoutExpired:
+        os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+        out, err = p.communicate()
+        raise AssertionError(f"{script} timed out:\n{out}\n{err}")
+    assert p.returncode == 0, f"{script} failed:\n{out}\n{err}"
 
 
 def test_multihost_serve_smoke():
