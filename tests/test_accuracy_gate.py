@@ -148,3 +148,38 @@ def test_format_ordering(f32_embeddings, quant_embeddings):
     assert mean_cos["q5_1"] >= mean_cos["q4_1"] - eps
     assert mean_cos["q5_0"] >= mean_cos["q4_0"] - eps
     assert mean_cos["q8_0"] >= mean_cos["q4_0"] - eps
+
+
+def test_gate_sensitivity_canary(tmp_path, rng):
+    """The gate must actually FIRE on corruption: perturbing one layer's
+    quantized scales must push embedding cosine far below every envelope
+    floor.  (A gate that never fails is indistinguishable from no gate.)"""
+    from clip_tpu.engine import ClipEngine
+    from clip_tpu.models.text import encode_text
+    import jax.numpy as jnp
+    from clip_tpu.ops.qtensor import QTensor
+
+    from hf_fixtures import tiny_gguf
+    from clip_tpu.quantize import quantize_model
+
+    src, _ = tiny_gguf(tmp_path, use_f32=True)
+    qp = str(tmp_path / "tiny.q4_0.gguf")
+    quantize_model(src, qp, "q4_0", verbose=False)
+
+    eng = ClipEngine(qp, verbosity=0)
+    clean = eng.encode_text(["tok1 tok2", "tok2"], normalize=True)
+
+    # corrupt: scale the first layer's qkv scales by 8x (a layout/scale bug
+    # a self-consistent roundtrip test would never see)
+    layers = eng.params["text"]["layers"]
+    w = layers["qkv_w"]
+    assert isinstance(w, QTensor)
+    bad_d = np.asarray(w.d).copy()
+    bad_d[0] *= 8.0
+    layers["qkv_w"] = QTensor(q=w.q, d=jnp.asarray(bad_d), m=w.m,
+                              qtype=w.qtype, hb=w.hb)
+    eng._jit_cache.clear()
+    dirty = eng.encode_text(["tok1 tok2", "tok2"], normalize=True)
+    cos = (clean * dirty).sum(1)
+    assert cos.min() < 0.9, f"corruption not detected: cos={cos}"
+    eng.close()
