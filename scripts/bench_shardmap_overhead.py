@@ -7,6 +7,11 @@ whatever hardware is present: same model, same batch, plain engine vs a
 delta is pure shard_map overhead.
 
 Run: python scripts/bench_shardmap_overhead.py [batch]
+
+Caveat: through the axon relay the engine-level loop is host->device
+transfer-dominated; the measured delta is still like-for-like, but for a
+compute-bound number time the jitted fns with device-resident inputs
+(measured on real TPU: -0.2% at B=256 — see PERF_NOTES).
 """
 
 from __future__ import annotations
@@ -38,9 +43,12 @@ def main() -> int:
 
     import jax
 
-    plain = ClipEngine(path, unroll=True, verbosity=0)
+    # scan config: unroll+shard_map compiles pathologically slowly through
+    # the axon relay (observed >590 s / relay wedge); scan compiles in <60 s
+    # and the overhead conclusion is the same
+    plain = ClipEngine(path, verbosity=0)
     mesh = make_mesh(1, 1, devices=jax.devices()[:1])
-    spmd = ClipEngine(path, mesh=mesh, unroll=True, verbosity=0)
+    spmd = ClipEngine(path, mesh=mesh, verbosity=0)
     assert spmd._spmd, "1-device mesh must take the shard_map path"
 
     a = plain.encode_image(px[:8], normalize=True, preprocessed=True)
