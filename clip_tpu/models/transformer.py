@@ -50,6 +50,7 @@ def attention(
     x, lp, *, n_head: int, causal: bool = False,
     compute_dtype=jnp.float32, attn_impl: str = "auto",
     qmm_backend: str | None = None, tp_axis: str | None = None,
+    valid_len: int | None = None,
 ):
     """Multi-head self-attention over ``x [B, S, H]``.
 
@@ -92,6 +93,7 @@ def attention(
         out = mha_pallas_qkv(
             qkv, n_head=n_head_loc, scale=scale, causal=causal,
             interpret=jax.default_backend() != "tpu",
+            valid_len=valid_len,
         )
     else:
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -101,6 +103,10 @@ def attention(
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, kh, preferred_element_type=jnp.float32)
         if causal:
             scores = scores + _causal_bias(s)
+        if valid_len is not None and valid_len < s:
+            # pad-once path: mask trailing pad KEYS exactly like the kernel
+            kp = jnp.where(jnp.arange(s) >= valid_len, NEG_INF, 0.0)
+            scores = scores + kp[None, None, None, :].astype(jnp.float32)
         attn = softmax(scores.astype(jnp.float32), axis=-1).astype(compute_dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh, preferred_element_type=jnp.float32)
         out = out.astype(compute_dtype).reshape(b, s, h_loc)
@@ -114,11 +120,12 @@ def attention(
 
 def block(x, lp, *, n_head, eps, use_gelu, causal=False,
           compute_dtype=jnp.float32, attn_impl="auto",
-          qmm_backend=None, tp_axis=None):
+          qmm_backend=None, tp_axis=None, valid_len=None):
     h = layernorm(x, lp["ln1_w"], lp["ln1_b"], eps)
     x = x + attention(h, lp, n_head=n_head, causal=causal,
                       compute_dtype=compute_dtype, attn_impl=attn_impl,
-                      qmm_backend=qmm_backend, tp_axis=tp_axis)
+                      qmm_backend=qmm_backend, tp_axis=tp_axis,
+                      valid_len=valid_len)
     h = layernorm(x, lp["ln2_w"], lp["ln2_b"], eps)
     h = linear(h, lp["up_w"], lp["up_b"], compute_dtype=compute_dtype,
                backend=qmm_backend)
@@ -133,7 +140,7 @@ def block(x, lp, *, n_head, eps, use_gelu, causal=False,
 
 def run_blocks(x, layers, *, n_head, eps, use_gelu, causal=False,
                compute_dtype=jnp.float32, attn_impl="auto", unroll=False,
-               qmm_backend=None, tp_axis=None):
+               qmm_backend=None, tp_axis=None, valid_len=None):
     """Run the transformer stack; ``layers`` leaves carry a leading L axis.
 
     ``unroll=True`` emits a Python loop instead of ``lax.scan``: each layer's
@@ -144,7 +151,7 @@ def run_blocks(x, layers, *, n_head, eps, use_gelu, causal=False,
     f = partial(
         block, n_head=n_head, eps=eps, use_gelu=use_gelu, causal=causal,
         compute_dtype=compute_dtype, attn_impl=attn_impl,
-        qmm_backend=qmm_backend, tp_axis=tp_axis,
+        qmm_backend=qmm_backend, tp_axis=tp_axis, valid_len=valid_len,
     )
 
     if unroll:

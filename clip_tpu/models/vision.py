@@ -18,6 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops.attention_pallas import flat_eligible
 from ..ops.nn import l2_normalize, layernorm
 from ..ops.linear import qmatmul
 from ..ops.qtensor import QTensor, dequant, take_rows
@@ -74,6 +75,28 @@ def encode_image(
 
     x = layernorm(x, params["pre_ln_w"], params["pre_ln_b"], cfg.eps)
 
+    # Pad-once: sequences the flat attention kernel can't take natively
+    # (S=197/257... — see ops.attention_pallas.flat_eligible) are padded to
+    # an 8-multiple HERE and the whole stack runs at the padded length with
+    # pad KEYS masked in attention (valid_len).  Real rows are bit-identical
+    # (masked logits underflow to exactly 0 in the softmax); pad-row outputs
+    # are garbage but CLS pooling reads row 0.  This kills the per-layer
+    # S re-pad and unlocks the flat kernel + 2-D qkv projection for ViT-B/16
+    # and ViT-L/14 shapes.
+    s_real = x.shape[1]
+    valid_len = None
+    d_head = cfg.hidden_size // cfg.n_head
+    # d_head gate (measured): 64-wide head lane-slices run well in the flat
+    # kernel (B/16 +13%, L/14 +9%); 80-wide (ViT-H/14) straddles the 128
+    # lane registers and LOSES 10% — H/14 keeps the padded path.  Padding
+    # S=577 merely to align the padded kernel also measured slightly worse;
+    # pad-once applies only when it unlocks the flat path.
+    if not flat_eligible(b, s_real) and d_head % 64 == 0:
+        sp = -(-s_real // 8) * 8
+        if sp != s_real and flat_eligible(b, sp):
+            x = jnp.pad(x, ((0, 0), (0, sp - s_real), (0, 0)))
+            valid_len = s_real
+
     x = run_blocks(
         x,
         params["layers"],
@@ -86,6 +109,7 @@ def encode_image(
         unroll=unroll,
         qmm_backend=qmm_backend,
         tp_axis=tp_axis,
+        valid_len=valid_len,
     )
 
     pooled = x[:, 0, :]  # CLS (clip.cpp:1426-1430)

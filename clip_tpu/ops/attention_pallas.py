@@ -111,13 +111,15 @@ def _qkv_kernel(qkv_ref, o_ref, *, n_head, seq_len, causal, scale):
             bb, s_pad, dh)
 
 
-def _qkv_kernel_flat(qkv_ref, o_ref, *, n_head, seq_len, causal, scale):
+def _qkv_kernel_flat(qkv_ref, o_ref, *, n_head, seq_len, causal, scale,
+                     valid_len):
     """Pad-free variant: rows are ``bb`` whole images flattened to
     ``[bb*S, 3H]`` (chosen so the row count is sublane-aligned), so the HBM
     pad pass the 3-D layout needs (S -> S_pad rewrite of the full activation
     every layer, ~1.1 ms/step at ViT-B/32 B=256) disappears, and the output
     is produced in the flat 2-D layout the residual add wants (no relayout
-    copy).  Masking arithmetic is identical — there are just no pad rows."""
+    copy).  ``valid_len < seq_len`` masks trailing pad KEYS within each
+    image (the pad-once-at-embedding vision path)."""
     rt = qkv_ref.shape[0]
     h = qkv_ref.shape[1] // 3
     dh = h // n_head
@@ -125,6 +127,8 @@ def _qkv_kernel_flat(qkv_ref, o_ref, *, n_head, seq_len, causal, scale):
     rows = jax.lax.broadcasted_iota(jnp.int32, (rt, rt), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (rt, rt), 1)
     invalid = (rows // seq_len) != (cols // seq_len)      # cross-image
+    if valid_len < seq_len:
+        invalid = jnp.logical_or(invalid, cols % seq_len >= valid_len)
     if causal:
         invalid = jnp.logical_or(invalid, cols % seq_len > rows % seq_len)
     bias = jnp.where(invalid, NEG_INF, 0.0).astype(jnp.float32)
@@ -185,7 +189,8 @@ def flat_eligible(b: int, s: int) -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_head", "causal", "scale", "interpret", "block_b"),
+    static_argnames=("n_head", "causal", "scale", "interpret", "block_b",
+                     "valid_len"),
 )
 def mha_pallas_qkv(
     qkv: jnp.ndarray,
@@ -195,14 +200,18 @@ def mha_pallas_qkv(
     causal: bool = False,
     interpret: bool = False,
     block_b: int = 8,
+    valid_len: "int | None" = None,
 ) -> jnp.ndarray:
     """Fused MHA over the fused projection ``qkv [B, S, 3H]`` -> ``[B, S, H]``.
 
     ``scale`` multiplies the Q slice in-kernel (the reference scales Q before
     QK^T, clip.cpp:1082).  Short sequences (bb*S rows fit one VMEM score
-    tile) take the pad-free flat path; longer ones the padded 3-D path."""
+    tile) take the pad-free flat path; longer ones the padded 3-D path.
+    ``valid_len``: true sequence length when the input was padded once at
+    embedding time (vision pad-once path) — trailing keys are masked."""
     b, s, h3 = qkv.shape
     h = h3 // 3
+    vl = s if valid_len is None else valid_len
 
     bb_flat = _flat_block_b(b, s)
     if bb_flat is not None:
@@ -212,7 +221,8 @@ def mha_pallas_qkv(
         if b_pad != b:
             q2 = jnp.pad(q2, ((0, (b_pad - b) * s), (0, 0)))
         kernel = functools.partial(
-            _qkv_kernel_flat, n_head=n_head, seq_len=s, causal=causal, scale=scale
+            _qkv_kernel_flat, n_head=n_head, seq_len=s, causal=causal,
+            scale=scale, valid_len=vl,
         )
         out = pl.pallas_call(
             kernel,
@@ -239,7 +249,7 @@ def mha_pallas_qkv(
 
     qkv_p = jnp.pad(qkv, ((0, b_pad - b), (0, s_pad - s), (0, 0)))
     kernel = functools.partial(
-        _qkv_kernel, n_head=n_head, seq_len=s, causal=causal, scale=scale
+        _qkv_kernel, n_head=n_head, seq_len=vl, causal=causal, scale=scale
     )
     in_spec = pl.BlockSpec((bb, s_pad, h3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((bb, s_pad, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)

@@ -104,3 +104,69 @@ def test_flat_qkv_matches_reference(rng, b, s, h, nh, causal):
     # TPU tolerance: the reference einsum itself runs as single-pass bf16 MXU
     # dots there (see conftest)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, **TOL)
+
+
+def test_valid_len_masks_pad_keys(rng):
+    """valid_len must make padded keys invisible: result rows [0, valid)
+    equal the unpadded computation exactly (pad-once vision path)."""
+    from clip_tpu.ops.attention_pallas import mha_pallas_qkv
+
+    b, s_real, h, nh = 4, 26, 64, 4
+    sp = 32
+    q = rng.normal(size=(b, s_real, h)).astype(np.float32)
+    k = rng.normal(size=(b, s_real, h)).astype(np.float32)
+    v = rng.normal(size=(b, s_real, h)).astype(np.float32)
+    qkv = np.concatenate([q, k, v], axis=-1)
+    qkv_p = np.zeros((b, sp, 3 * h), np.float32)
+    qkv_p[:, :s_real] = qkv
+    # garbage in the pad rows must not leak into real rows
+    qkv_p[:, s_real:] = 1e3
+
+    scale = (h / nh) ** -0.5
+    ref = mha_pallas_qkv(jnp.asarray(qkv), n_head=nh, scale=scale, interpret=True)
+    out = mha_pallas_qkv(jnp.asarray(qkv_p), n_head=nh, scale=scale,
+                         interpret=True, valid_len=s_real)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :s_real], np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_vision_pad_once_matches_unpadded(rng):
+    """encode_image's pad-once path (S not flat-eligible, e.g. ViT-B/16's
+    197) must produce the same embeddings as a hypothetical unpadded run —
+    verified at the run_blocks level with an explicit XLA reference."""
+    from clip_tpu.models.transformer import run_blocks
+
+    b, s, h, nh, L = 4, 101, 64, 4, 2   # 101: not flat-eligible, pads to 104
+    from clip_tpu.ops.attention_pallas import _flat_block_b
+    assert _flat_block_b(b, s) is None and _flat_block_b(b, 104) is not None
+
+    layers = {
+        "qkv_w": rng.normal(0, 0.05, (L, 3 * h, h)).astype(np.float32),
+        "qkv_b": rng.normal(0, 0.05, (L, 3 * h)).astype(np.float32),
+        "o_w": rng.normal(0, 0.05, (L, h, h)).astype(np.float32),
+        "o_b": rng.normal(0, 0.05, (L, h)).astype(np.float32),
+        "up_w": rng.normal(0, 0.05, (L, 4 * h, h)).astype(np.float32),
+        "up_b": rng.normal(0, 0.05, (L, 4 * h)).astype(np.float32),
+        "down_w": rng.normal(0, 0.05, (L, h, 4 * h)).astype(np.float32),
+        "down_b": rng.normal(0, 0.05, (L, h)).astype(np.float32),
+        "ln1_w": np.ones((L, h), np.float32), "ln1_b": np.zeros((L, h), np.float32),
+        "ln2_w": np.ones((L, h), np.float32), "ln2_b": np.zeros((L, h), np.float32),
+    }
+    x = rng.normal(size=(b, s, h)).astype(np.float32)
+
+    ref = run_blocks(jnp.asarray(x), layers, n_head=nh, eps=1e-5,
+                     use_gelu=False, attn_impl="xla")
+    xp = np.zeros((b, 104, h), np.float32)
+    xp[:, :s] = x
+    out = run_blocks(jnp.asarray(xp), layers, n_head=nh, eps=1e-5,
+                     use_gelu=False, attn_impl="xla", valid_len=s)
+    np.testing.assert_allclose(np.asarray(out)[:, :s], np.asarray(ref), atol=2e-5)
+    # and the pallas path agrees with the XLA path (interpret on CPU, the
+    # real kernel on TPU — where the f32 XLA reference runs as bf16 MXU
+    # passes, hence the backend-aware tolerance)
+    from conftest import ON_TPU
+
+    outp = run_blocks(jnp.asarray(xp), layers, n_head=nh, eps=1e-5,
+                      use_gelu=False, attn_impl="pallas", valid_len=s)
+    np.testing.assert_allclose(np.asarray(outp)[:, :s], np.asarray(ref),
+                               atol=4e-3 if ON_TPU else 3e-5)
