@@ -65,7 +65,8 @@ def _run(args, fout) -> int:
     if n_labels == 0:
         return 1
 
-    engine = ClipEngine(args.model, verbosity=args.verbosity)
+    engine = ClipEngine(args.model, verbosity=args.verbosity,
+                        use_mesh=args.use_mesh)
     labels = list(classes.keys())
 
     t0 = time.perf_counter()

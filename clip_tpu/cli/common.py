@@ -38,6 +38,11 @@ def base_parser(prog: str, description: str, *, needs_text: bool = True,
                    help="verbosity 0-3")
     p.add_argument("-b", "--batch-size", type=int, default=4,
                    help="encode batch size")
+    p.add_argument("--use-mesh", action="store_true",
+                   help="use ALL local accelerator chips as a (data, model) "
+                        "mesh (default: single chip); batches are "
+                        "data-sharded and weights tensor-sharded via "
+                        "jax.shard_map")
     return p
 
 

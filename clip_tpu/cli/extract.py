@@ -28,7 +28,8 @@ def main(argv=None) -> int:
     if not args.text and not args.image:
         p.error("at least one --text or --image is required")
 
-    engine = ClipEngine(args.model, verbosity=args.verbosity)
+    engine = ClipEngine(args.model, verbosity=args.verbosity,
+                        use_mesh=args.use_mesh)
     os.makedirs(args.output_dir, exist_ok=True)
 
     if args.text:

@@ -20,7 +20,8 @@ def main(argv=None) -> int:
         p.error("exactly one --text and one --image are required")
 
     t0 = time.perf_counter()
-    engine = ClipEngine(args.model, verbosity=args.verbosity)
+    engine = ClipEngine(args.model, verbosity=args.verbosity,
+                        use_mesh=args.use_mesh)
     t_load = time.perf_counter() - t0
 
     t0 = time.perf_counter()

@@ -23,7 +23,8 @@ def main(argv=None) -> int:
     p.add_argument("--max-files-per-dir", type=int, default=0)
     args = p.parse_args(argv)
 
-    engine = ClipEngine(args.model, verbosity=args.verbosity)
+    engine = ClipEngine(args.model, verbosity=args.verbosity,
+                        use_mesh=args.use_mesh)
     index = EmbeddingIndex(engine.projection_dim, model_path=args.model)
 
     all_paths: list[str] = []

@@ -30,7 +30,8 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
 
-    engine = ClipEngine(args.model, verbosity=args.verbosity)
+    engine = ClipEngine(args.model, verbosity=args.verbosity,
+                        use_mesh=args.use_mesh)
     if args.text:
         query = engine.encode_text(args.text[0], normalize=True)
     else:

@@ -209,7 +209,8 @@ def main(argv=None) -> int:
         mesh = make_mesh()
 
     engine = ClipEngine(args.model, verbosity=args.verbosity, unroll=args.unroll,
-                        mesh=mesh, keep_quantized=not args.dense_weights)
+                        mesh=mesh, use_mesh=args.use_mesh and not args.distributed,
+                        keep_quantized=not args.dense_weights)
 
     server_holder: list = []
     server_ready = threading.Event()

@@ -18,7 +18,8 @@ def main(argv=None) -> int:
     if len(args.text) != 1 or len(args.image) != 1:
         p.error("exactly one --text and one --image are required")
 
-    engine = ClipEngine(args.model, verbosity=args.verbosity)
+    engine = ClipEngine(args.model, verbosity=args.verbosity,
+                        use_mesh=args.use_mesh)
 
     tokens = engine.tokenize(args.text[0])
     print(f"tokens: {tokens}")

@@ -23,7 +23,8 @@ def main(argv=None) -> int:
     if len(args.text) < 2 or len(args.image) != 1:
         p.error("at least two --text labels and exactly one --image are required")
 
-    engine = ClipEngine(args.model, verbosity=args.verbosity)
+    engine = ClipEngine(args.model, verbosity=args.verbosity,
+                        use_mesh=args.use_mesh)
     scores, indices = engine.zero_shot_label_image(
         args.image[0], args.text, templates=args.templates)
     for s, i in zip(scores, indices):
