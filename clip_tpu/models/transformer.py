@@ -70,7 +70,7 @@ def attention(
     scale = 1.0 / (d_head ** 0.5)
 
     impl = resolve_attn_impl(attn_impl)
-    if impl == "pallas" and flat_eligible(b, s):
+    if impl == "pallas" and flat_eligible(b, s, 3 * h):
         # 2-D GEMM for the projection feeding the FLAT kernel: a rank-3 dot
         # gets XLA's conv emitter whose {2,0,1} output layout forces a full
         # relayout copy (~0.4 ms/layer at B/32 B=448) before the custom

@@ -91,9 +91,10 @@ def encode_image(
     # lane registers and LOSES 10% — H/14 keeps the padded path.  Padding
     # S=577 merely to align the padded kernel also measured slightly worse;
     # pad-once applies only when it unlocks the flat path.
-    if not flat_eligible(b, s_real) and d_head % 64 == 0:
+    h3 = 3 * cfg.hidden_size
+    if not flat_eligible(b, s_real, h3) and d_head % 64 == 0:
         sp = -(-s_real // 8) * 8
-        if sp != s_real and flat_eligible(b, sp):
+        if sp != s_real and flat_eligible(b, sp, h3):
             x = jnp.pad(x, ((0, 0), (0, sp - s_real), (0, 0)))
             valid_len = s_real
 

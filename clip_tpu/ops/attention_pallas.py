@@ -155,18 +155,23 @@ def _qkv_kernel_flat(qkv_ref, o_ref, *, n_head, seq_len, causal, scale,
         o_ref[:, qs] = out.astype(o_ref.dtype)
 
 
-_FLAT_MAX_ROWS = 448    # scores tile [R, R] f32 must stay small in VMEM
+_FLAT_MAX_ROWS = 448    # multi-image blocks: bounds block-diagonal waste
 _FLAT_MIN_ROWS = 128    # below this the MXU runs partial tiles
+_FLAT_MAX_S1 = 640      # single-image blocks: bounded by VMEM only
+_FLAT_VMEM_BUDGET = 12 * 2**20  # of the 16 MB scoped-VMEM limit
 
 
-def _flat_block_b(b: int, s: int) -> int | None:
+def _flat_block_b(b: int, s: int, h3: int | None = None) -> "int | None":
     """Images per grid step for the flat kernel, or None if ineligible.
 
     The row count bb*S must be a multiple of 8 (f32 sublane; measured on
     v6e: 8-alignment suffices for bf16 too — 200 rows beat 16-aligned 400
-    in-model) and capped so the [R, R] score tile stays VMEM-friendly.
-    Cross-image score work grows with bb (block-diagonal waste), so use the
-    smallest aligned bb that still fills MXU tiles.
+    in-model).  Multi-image blocks are capped at 448 rows: cross-image score
+    work grows with bb (block-diagonal waste), so use the smallest aligned
+    bb that still fills MXU tiles.  Single-image blocks (S already
+    8-aligned, bb=1) carry NO waste, so they are bounded only by VMEM —
+    checked against ``h3`` (= 3*hidden) when provided (ViT-L/14-336's
+    S=584 rides this).
     """
     g = 2 if s % 2 == 0 else 1
     g = 4 if s % 4 == 0 else g
@@ -174,17 +179,25 @@ def _flat_block_b(b: int, s: int) -> int | None:
     base = 8 // g
     bb = base * max(1, -(-_FLAT_MIN_ROWS // (base * s)))
     if bb * s > _FLAT_MAX_ROWS:
-        return None
+        if base == 1 and s <= _FLAT_MAX_S1 and h3 is not None:
+            # qkv block + out block + scores + probs, all resident at once
+            vmem = s * h3 * 2 + s * (h3 // 3) * 2 + 2 * s * s * 4
+            if vmem > _FLAT_VMEM_BUDGET:
+                return None
+            bb = 1
+        else:
+            return None
     return min(bb, b) if (min(bb, b) * s) % 8 == 0 else None
 
 
-def flat_eligible(b: int, s: int) -> bool:
+def flat_eligible(b: int, s: int, h3: int | None = None) -> bool:
     """Public contract: True iff ``mha_pallas_qkv`` will take the flat
-    pad-free path for a [b, s, ...] input.  Callers that shape their
+    pad-free path for a [b, s, 3H] input.  Callers that shape their
     producers for the kernel's operand layout (models.transformer's 2-D qkv
     projection) MUST use this — not a reimplementation — so the two can
-    never desynchronize."""
-    return _flat_block_b(b, s) is not None
+    never desynchronize.  Pass ``h3`` (= 3*hidden) to enable the
+    single-image long-sequence path (its VMEM check needs the width)."""
+    return _flat_block_b(b, s, h3) is not None
 
 
 @functools.partial(
@@ -213,7 +226,7 @@ def mha_pallas_qkv(
     h = h3 // 3
     vl = s if valid_len is None else valid_len
 
-    bb_flat = _flat_block_b(b, s)
+    bb_flat = _flat_block_b(b, s, h3)
     if bb_flat is not None:
         rt = bb_flat * s
         b_pad = -(-b // bb_flat) * bb_flat
