@@ -192,6 +192,16 @@ class ClipEngine:
         self._batch_multiple = 1
         if self.mesh is not None and "data" in self.mesh.axis_names:
             self._batch_multiple = self.mesh.shape["data"]
+            # collective encodes build the global batch from per-host rows
+            # (rows * nproc must divide n_data); a non-dividing config would
+            # only explode at serve time inside make_array_from_process_local_
+            # data — fail fast here with the actual numbers instead
+            nproc = jax.process_count()
+            if nproc > 1 and self._batch_multiple % nproc != 0:
+                raise ValueError(
+                    f"mesh data axis ({self._batch_multiple}) must be divisible "
+                    f"by the process count ({nproc}) for multi-host collective "
+                    f"encodes; reshape the mesh (e.g. data={nproc * (self._batch_multiple // nproc or 1)})")
 
         self._jit_cache: dict = {}
 

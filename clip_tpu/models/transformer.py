@@ -70,7 +70,12 @@ def attention(
     scale = 1.0 / (d_head ** 0.5)
 
     impl = resolve_attn_impl(attn_impl)
-    if impl == "pallas" and flat_eligible(b, s, 3 * h):
+    # eligibility must be judged at the width the kernel actually sees: under
+    # tensor parallelism (inside shard_map) lp holds this shard's [3H/n, H]
+    # projection, and mha_pallas_qkv decides its path from that local width —
+    # using the global 3*h here could silently desync the two
+    qkv_width = lp["qkv_w"].shape[0]
+    if impl == "pallas" and flat_eligible(b, s, qkv_width):
         # 2-D GEMM for the projection feeding the FLAT kernel: a rank-3 dot
         # gets XLA's conv emitter whose {2,0,1} output layout forces a full
         # relayout copy (~0.4 ms/layer at B/32 B=448) before the custom

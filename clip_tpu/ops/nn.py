@@ -42,7 +42,10 @@ def layernorm(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, eps: float) -> jnp
     x32 = x.astype(jnp.float32)
     mu = x32.mean(axis=-1, keepdims=True)
     ms = (x32 * x32).mean(axis=-1, keepdims=True)
-    var = ms - mu * mu
+    # E[x^2]-mu^2 can cancel slightly negative for near-constant rows with a
+    # large mean; rsqrt(var+eps) would then be NaN and leak through the
+    # additive attention masks into real rows.  Clamp is free (fuses).
+    var = jnp.maximum(ms - mu * mu, 0.0)
     y = (x32 - mu) * jax.lax.rsqrt(var + eps)
     y = y * w.astype(jnp.float32) + b.astype(jnp.float32)
     return y.astype(x.dtype)

@@ -64,6 +64,11 @@ class MultiHostBatcher:
         self._stats = {lane: _LaneStats() for lane in _LANES}
         self._stop = threading.Event()
         self._closed = False
+        # makes the closed-check + enqueue atomic vs the shutdown drain: a
+        # handler thread that passes the check has already enqueued by the
+        # time the driver flips _closed and does its final sweep, so no
+        # Future can slip in after the sweep and hang its client
+        self._submit_lock = threading.Lock()
         self._nproc = jax.process_count()
         self._driver = threading.Thread(target=self._run, name="mh-batcher", daemon=True)
         self._driver.start()
@@ -72,9 +77,6 @@ class MultiHostBatcher:
 
     def _submit(self, lane, payload) -> Future:
         fut: Future = Future()
-        if self._closed:
-            fut.set_exception(RuntimeError("server shutting down"))
-            return fut
         # single-tower checkpoints: fail fast here — raising inside the
         # collective section would tear the whole cluster down
         mod = lane[0]
@@ -84,7 +86,11 @@ class MultiHostBatcher:
             fut.set_exception(RuntimeError(
                 f"this checkpoint has no {mod} encoder"))
             return fut
-        self._queues[lane].put((payload, fut))
+        with self._submit_lock:
+            if self._closed:
+                fut.set_exception(RuntimeError("server shutting down"))
+                return fut
+            self._queues[lane].put((payload, fut))
         return fut
 
     def submit_text(self, text, normalize: bool = True) -> Future:
@@ -114,6 +120,18 @@ class MultiHostBatcher:
     def close(self) -> None:
         self._stop.set()
         self._driver.join(timeout=60)
+        # belt-and-braces: if the driver died without its shutdown drain
+        # (unexpected exception outside the per-lane try), fail anything left
+        with self._submit_lock:
+            self._closed = True
+        for lane in _LANES:
+            while True:
+                rest = self._drain(lane)
+                if not rest:
+                    break
+                for _, fut in rest:
+                    if not fut.done():
+                        fut.set_exception(RuntimeError("server shutting down"))
 
     def __enter__(self) -> "MultiHostBatcher":
         return self
@@ -234,7 +252,8 @@ class MultiHostBatcher:
 
             if gmax[-1]:  # any host shutting down: all hosts leave together
                 self._stop.set()
-                self._closed = True
+                with self._submit_lock:
+                    self._closed = True  # submits past this point fail fast
                 for lane in _LANES:
                     while True:  # fail EVERY pending future, not one drain's worth
                         rest = self._drain(lane)

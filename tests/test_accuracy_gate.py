@@ -114,25 +114,48 @@ def test_fullsize_cosine_envelope(fmt, f32_embeddings, quant_embeddings):
 
 
 @pytest.mark.parametrize("fmt", FORMATS)
-def test_fullsize_guaranteed_margin_agreement(fmt, f32_embeddings, quant_embeddings):
+@pytest.mark.parametrize("tower", ("image", "text"))
+def test_fullsize_guaranteed_margin_agreement(fmt, tower, f32_embeddings,
+                                              quant_embeddings):
     """Where the f32 top-1 margin exceeds 2x the worst score perturbation,
     quantized top-1 must agree exactly (an argmax flip there would mean the
     quantized model's errors are not the small dense perturbation the cosine
-    envelope promises — e.g. a sign/layout bug on one row)."""
+    envelope promises — e.g. a sign/layout bug on one row).
+
+    Class-bank construction (must be non-vacuous for EVERY format — round-2
+    verdict weak #3): random-weight towers COLLAPSE inputs (measured: all
+    pairwise f32 image cosines >= 0.96), so any bank built from other
+    embeddings — cross-modal or same-tower — has margins below the 4-bit
+    formats' delta and the gate degenerates.  Instead each row's bank is its
+    OWN f32 embedding (true class, f32 score exactly 1.0) plus fixed random
+    unit distractors (|cos| ~ 0.1 with everything): margins are ~0.8 by
+    construction, delta is MEASURED (not assumed) over every bank score, and
+    the gate asserts the provable region covers >=90% of rows and agreement
+    on it is exact.  A sign/layout/permutation bug (errors that are not the
+    small dense perturbation the cosine envelope promises) craters the true-
+    class score and fails it; it can fail, never skip."""
     img_f, txt_f = f32_embeddings
     img_q, txt_q = quant_embeddings[fmt]
-    # fewer classes -> larger top-2 margins (extreme-value spacing), so the
-    # provable-agreement region is non-empty for the 4/5-bit formats too
-    s_f = img_f @ txt_f[:8].T
-    s_q = img_q @ txt_q[:8].T
-    delta = np.abs(s_q - s_f).max()
-    srt = np.sort(s_f, axis=1)
-    margin = srt[:, -1] - srt[:, -2]
+    bank_f, emb_q = (img_f, img_q) if tower == "image" else (txt_f, txt_q)
+    n, dim = bank_f.shape
+    rng = np.random.default_rng(7)
+    distract = rng.normal(size=(64, dim))
+    distract /= np.linalg.norm(distract, axis=1, keepdims=True)
+
+    true_q = (emb_q * bank_f).sum(1)             # quantized vs own f32 class
+    cross_f = bank_f @ distract.T                # f32 vs distractors
+    cross_q = emb_q @ distract.T
+    delta = max(np.abs(true_q - 1.0).max(), np.abs(cross_q - cross_f).max())
+    margin = 1.0 - cross_f.max(axis=1)           # f32 true-vs-best-distractor
     eligible = margin > 2.0 * delta
-    if not eligible.any():
-        pytest.skip(f"{fmt}: no image margin clears 2*delta={2*delta:.4f}")
-    agree = (s_q[eligible].argmax(1) == s_f[eligible].argmax(1)).mean()
-    assert agree == 1.0, (fmt, float(agree), int(eligible.sum()))
+    assert eligible.sum() >= int(0.9 * n), (
+        f"{fmt}/{tower}: provable-margin region collapsed — "
+        f"{int(eligible.sum())}/{n} rows clear 2*delta={2 * delta:.4f} "
+        f"(min margin {margin.min():.4f}); the quantized tower's score "
+        f"perturbation is far larger than the cosine envelope implies")
+    s_q = np.concatenate([true_q[:, None], cross_q], axis=1)
+    agree = (s_q[eligible].argmax(1) == 0).mean()
+    assert agree == 1.0, (fmt, tower, float(agree), int(eligible.sum()))
 
 
 def test_format_ordering(f32_embeddings, quant_embeddings):
