@@ -22,12 +22,16 @@ import base64
 import io
 import json
 import sys
+import threading
+from collections import OrderedDict
+from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
 from ..engine import ClipEngine, softmax_with_sorting
 from ..serving import ContinuousBatcher, MultiHostBatcher
+from ..templates import resolve_templates
 from .common import base_parser
 
 
@@ -44,8 +48,66 @@ def _decode_image(b64: str) -> np.ndarray:
         return np.asarray(im.convert("RGB"))
 
 
+class ZslLabelCache:
+    """Label-set embedding cache for ``/v1/zsl``.
+
+    Without it, N labels cost a fresh text encode on EVERY request — a
+    zero-shot classifier serves one fixed label set for millions of images,
+    so the text side should be paid once per label set, not per request.
+    Embeddings are computed through the *batcher* (handler threads must not
+    touch the engine directly: in --distributed mode only the tick driver may
+    issue collectives), keyed by (labels, templates), LRU-bounded.  In-flight
+    computes are shared via a Future so a burst of identical first requests
+    encodes once.
+    """
+
+    def __init__(self, batcher, maxsize: int = 128, timeout_s: float = 600.0):
+        self._batcher = batcher
+        self._maxsize = maxsize
+        self._timeout = timeout_s
+        self._lock = threading.Lock()
+        self._cache: "OrderedDict[tuple, Future]" = OrderedDict()
+
+    def get(self, labels, tpl) -> np.ndarray:
+        """Normalized-or-raw label matrix [C, D] (raw when tpl is None,
+        matching ClipEngine.zero_shot_label_image's reference-parity default;
+        ensembled+normalized otherwise)."""
+        key = (tuple(labels), tpl)
+        owner = False
+        with self._lock:
+            fut = self._cache.get(key)
+            if fut is not None:
+                self._cache.move_to_end(key)
+            else:
+                fut = Future()
+                owner = True
+                self._cache[key] = fut
+                while len(self._cache) > self._maxsize:
+                    self._cache.popitem(last=False)
+        if owner:
+            try:
+                fut.set_result(self._compute(labels, tpl))
+            except Exception as e:  # noqa: BLE001 — propagate to all waiters
+                with self._lock:
+                    if self._cache.get(key) is fut:
+                        del self._cache[key]  # don't cache failures
+                fut.set_exception(e)
+        return fut.result(self._timeout)
+
+    def _compute(self, labels, tpl) -> np.ndarray:
+        if tpl is None:
+            futs = [self._batcher.submit_text(t, False) for t in labels]
+            return np.stack([np.asarray(f.result(self._timeout)) for f in futs])
+        prompts = [t.format(n) for n in labels for t in tpl]
+        futs = [self._batcher.submit_text(p, True) for p in prompts]
+        vecs = np.stack([np.asarray(f.result(self._timeout)) for f in futs])
+        vecs = vecs.reshape(len(labels), len(tpl), -1).mean(axis=1)
+        vecs /= np.linalg.norm(vecs, axis=-1, keepdims=True)
+        return vecs.astype(np.float32)
+
+
 def make_handler(engine: ClipEngine, batcher, timeout_s: float = 600.0,
-                 shutdown_cb=None):
+                 shutdown_cb=None, label_cache: "ZslLabelCache | None" = None):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, obj) -> None:
             body = json.dumps(obj).encode()
@@ -87,10 +149,22 @@ def make_handler(engine: ClipEngine, batcher, timeout_s: float = 600.0,
                 elif self.path == "/v1/zsl":
                     img = _decode_image(req["image_b64"])
                     labels = req["labels"]
-                    ivec = batcher.submit_image(img, False).result(timeout_s)
-                    tfuts = [batcher.submit_text(t, False) for t in labels]
-                    tvecs = np.stack([f.result(timeout_s) for f in tfuts])
-                    scores, idx = softmax_with_sorting(tvecs @ ivec)
+                    if len(labels) < 2:
+                        raise ValueError("zsl needs at least 2 labels")
+                    # 'templates': null (reference parity: raw labels,
+                    # unnormalized scores), a named set ('basic'/'openai'),
+                    # one template string, or a list — engine.zero_shot_
+                    # label_image semantics over HTTP
+                    tpl = resolve_templates(req.get("templates"))
+                    cache = label_cache or ZslLabelCache(batcher,
+                                                         timeout_s=timeout_s)
+                    tvecs = cache.get(labels, tpl)
+                    ivec = batcher.submit_image(
+                        img, tpl is not None).result(timeout_s)
+                    sims = tvecs @ ivec
+                    if tpl is not None:
+                        sims = 100.0 * sims  # CLIP logit scale (normalized)
+                    scores, idx = softmax_with_sorting(sims)
                     self._send(200, {
                         "labels": [labels[int(i)] for i in idx],
                         "scores": [float(s) for s in scores],
@@ -251,7 +325,8 @@ def main(argv=None) -> int:
         # minutes of compilation
         server = _Server((args.host, args.port), make_handler(
             engine, batcher, args.request_timeout,
-            shutdown_cb=request_shutdown if args.allow_shutdown else None))
+            shutdown_cb=request_shutdown if args.allow_shutdown else None,
+            label_cache=ZslLabelCache(batcher, timeout_s=args.request_timeout)))
         server_holder.append(server)
         server_ready.set()
         if args.warmup and not args.distributed:

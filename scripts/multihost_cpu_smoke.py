@@ -4,8 +4,10 @@ Validates the real ``jax.distributed`` path (coordinator handshake, global
 device view, cross-process collective, per-host batch slicing) that the
 virtual 8-device single-process mesh in tests/ cannot exercise.
 
-Run:  python scripts/multihost_cpu_smoke.py            (launches both ranks)
-      python scripts/multihost_cpu_smoke.py --rank N   (one rank, internal)
+Run:  python scripts/multihost_cpu_smoke.py              (launches all ranks)
+      python scripts/multihost_cpu_smoke.py --nproc 3    (3 hosts: uneven data
+          axis — pins the non-power-of-two collective row bucketing)
+      python scripts/multihost_cpu_smoke.py --rank N ... (one rank, internal)
 """
 
 from __future__ import annotations
@@ -18,11 +20,11 @@ import sys
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
-N_PROC = 2
+DEFAULT_NPROC = 2
 MODEL = os.path.join(_REPO, ".cache", "entry_vit-b-32_q4_0_both.gguf")
 
 
-def rank_main(rank: int, port: int, out_path: str) -> None:
+def rank_main(rank: int, nproc: int, port: int, out_path: str) -> None:
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
@@ -34,31 +36,32 @@ def rank_main(rank: int, port: int, out_path: str) -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from clip_tpu.parallel import distributed
 
-    distributed.initialize(f"127.0.0.1:{port}", num_processes=N_PROC, process_id=rank)
+    distributed.initialize(f"127.0.0.1:{port}", num_processes=nproc, process_id=rank)
 
     import jax.numpy as jnp
     import numpy as np
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    assert jax.process_count() == N_PROC, jax.process_count()
+    assert jax.process_count() == nproc, jax.process_count()
     n_global = len(jax.devices())
-    assert n_global == N_PROC * 2, n_global  # 2 local devices per process
+    assert n_global == nproc * 2, n_global  # 2 local devices per process
 
     mesh = Mesh(np.array(jax.devices()).reshape(n_global), ("data",))
-    sl = distributed.host_local_batch_slice(8)
+    g_rows = 4 * nproc
+    sl = distributed.host_local_batch_slice(g_rows)
     assert sl == slice(rank * 4, rank * 4 + 4), sl
 
     # global array from per-host shards + a cross-process collective
     local = np.full((4, 16), float(rank + 1), np.float32)
     sharding = NamedSharding(mesh, P("data"))
-    garr = jax.make_array_from_process_local_data(sharding, local, (8, 16))
+    garr = jax.make_array_from_process_local_data(sharding, local, (g_rows, 16))
 
     @jax.jit
     def total(x):
         return jnp.sum(x)
 
     out = float(total(garr))
-    expected = 4 * 16 * 1.0 + 4 * 16 * 2.0
+    expected = sum(4 * 16 * (r + 1.0) for r in range(nproc))
     assert out == expected, (out, expected)
 
     # full sharded vision encode across processes: every host loads the same
@@ -75,11 +78,12 @@ def rank_main(rank: int, port: int, out_path: str) -> None:
     # the launcher creates the checkpoint before spawning ranks (no race)
     reader = GGUFReader(MODEL)
     cfg = ClipConfig.from_gguf(reader)
-    # 2-way DP x 2-way TP with the model axis spanning BOTH processes
+    # 2-way DP x nproc-way TP with the model axis spanning ALL processes
     # (device grid transposed), so attention/MLP weight shards live on
     # different hosts and XLA inserts cross-process collectives inside the
-    # towers — the hardest layout to get right
-    grid = np.array(jax.devices()).reshape(2, 2).T
+    # towers — the hardest layout to get right.  (nproc=3: TP=3 divides the
+    # vision tower's 12 heads; only vision is encoded here.)
+    grid = np.array(jax.devices()).reshape(nproc, 2).T
     gmesh = Mesh(grid, ("data", "model"))
     params = shard_params(
         load_params(reader, cfg, keep_quantized=True, dtype=jnp.float32), gmesh)
@@ -129,8 +133,10 @@ def _single_process_reference() -> "np.ndarray":
 
 
 def main() -> int:
+    nproc = (int(sys.argv[sys.argv.index("--nproc") + 1])
+             if "--nproc" in sys.argv else DEFAULT_NPROC)
     if "--rank" in sys.argv:
-        rank_main(int(sys.argv[sys.argv.index("--rank") + 1]),
+        rank_main(int(sys.argv[sys.argv.index("--rank") + 1]), nproc,
                   int(sys.argv[sys.argv.index("--port") + 1]),
                   sys.argv[sys.argv.index("--out") + 1])
         return 0
@@ -152,9 +158,9 @@ def main() -> int:
 
     procs = [
         subprocess.Popen([sys.executable, os.path.abspath(__file__),
-                          "--rank", str(r), "--port", str(port),
-                          "--out", out_path])
-        for r in range(N_PROC)
+                          "--rank", str(r), "--nproc", str(nproc),
+                          "--port", str(port), "--out", out_path])
+        for r in range(nproc)
     ]
     try:
         codes = [p.wait(timeout=300) for p in procs]

@@ -8,6 +8,8 @@ every response must match a single-process engine bit-for-bit (CPU f32).
 A single POST /shutdown to one host must stop the whole cluster.
 
 Run:  python scripts/multihost_serve_smoke.py
+      python scripts/multihost_serve_smoke.py --nproc 3   (3 hosts: pins the
+          non-power-of-two collective row bucketing in engine._collective_rows)
 """
 
 from __future__ import annotations
@@ -25,16 +27,17 @@ import urllib.request
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
-N_PROC = 2
+DEFAULT_NPROC = 2
 MODEL = os.path.join(_REPO, ".cache", "entry_vit-b-32_q4_0_both.gguf")
 
 TEXTS_BY_RANK = [
     ["a photo of an apple", "the red cat", "w0 s1 w2"],
     ["apple photo", "dog"],
+    ["a third host speaks", "w9"],
 ]
 
 
-def rank_main(rank: int, coord_port: int, http_port: int) -> None:
+def rank_main(rank: int, nproc: int, coord_port: int, http_port: int) -> None:
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
@@ -48,7 +51,7 @@ def rank_main(rank: int, coord_port: int, http_port: int) -> None:
     sys.exit(serve.main([
         "-m", MODEL, "--host", "127.0.0.1", "--port", str(http_port),
         "--distributed", "--coordinator", f"127.0.0.1:{coord_port}",
-        "--num-processes", str(N_PROC), "--process-id", str(rank),
+        "--num-processes", str(nproc), "--process-id", str(rank),
         "--allow-shutdown", "--max-wait-ms", "20", "-v", "0",
     ]))
 
@@ -127,9 +130,12 @@ def _single_process_reference(texts, image_b64s):
 
 
 def main() -> int:
+    nproc = (int(sys.argv[sys.argv.index("--nproc") + 1])
+             if "--nproc" in sys.argv else DEFAULT_NPROC)
     if "--rank" in sys.argv:
         i = sys.argv.index
-        rank_main(int(sys.argv[i("--rank") + 1]), int(sys.argv[i("--port") + 1]),
+        rank_main(int(sys.argv[i("--rank") + 1]), nproc,
+                  int(sys.argv[i("--port") + 1]),
                   int(sys.argv[i("--http") + 1]))
         return 0
 
@@ -142,16 +148,16 @@ def main() -> int:
 
     import numpy as np
 
-    coord_port, http0, http1 = _free_ports(3)
-    http_ports = [http0, http1]
+    coord_port, *http_ports = _free_ports(1 + nproc)
     tmpdir = tempfile.mkdtemp(prefix="mh_serve_")
     image_b64s = _make_images(tmpdir)
 
     procs = [
         subprocess.Popen([sys.executable, os.path.abspath(__file__),
-                          "--rank", str(r), "--port", str(coord_port),
+                          "--rank", str(r), "--nproc", str(nproc),
+                          "--port", str(coord_port),
                           "--http", str(http_ports[r])])
-        for r in range(N_PROC)
+        for r in range(nproc)
     ]
     try:
         deadline = time.monotonic() + 240
@@ -170,9 +176,10 @@ def main() -> int:
 
         threads = [
             threading.Thread(target=ask, args=(
-                "t0", http_ports[0], "/v1/embed/text", {"texts": TEXTS_BY_RANK[0]})),
-            threading.Thread(target=ask, args=(
-                "t1", http_ports[1], "/v1/embed/text", {"texts": TEXTS_BY_RANK[1]})),
+                f"t{r}", http_ports[r], "/v1/embed/text",
+                {"texts": TEXTS_BY_RANK[r]}))
+            for r in range(nproc)
+        ] + [
             threading.Thread(target=ask, args=(
                 "i1", http_ports[1], "/v1/embed/image", {"images_b64": image_b64s})),
         ]
@@ -183,12 +190,13 @@ def main() -> int:
         if errors:
             raise RuntimeError(f"request errors: {errors}")
 
-        got_txt = np.asarray(results["t0"]["embeddings"]
-                             + results["t1"]["embeddings"], np.float32)
+        all_texts = [t for r in range(nproc) for t in TEXTS_BY_RANK[r]]
+        got_txt = np.asarray(
+            [v for r in range(nproc) for v in results[f"t{r}"]["embeddings"]],
+            np.float32)
         got_img = np.asarray(results["i1"]["embeddings"], np.float32)
 
-        ref_txt, ref_img = _single_process_reference(
-            TEXTS_BY_RANK[0] + TEXTS_BY_RANK[1], image_b64s)
+        ref_txt, ref_img = _single_process_reference(all_texts, image_b64s)
         dt = float(np.abs(got_txt - ref_txt).max())
         di = float(np.abs(got_img - ref_img).max())
         print(f"text maxdiff {dt:.2e}, image maxdiff {di:.2e}")

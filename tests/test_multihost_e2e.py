@@ -13,12 +13,12 @@ import sys
 _SCRIPTS = os.path.join(os.path.dirname(__file__), "..", "scripts")
 
 
-def _run(script: str) -> None:
+def _run(script: str, *args: str) -> None:
     # own session/process group: on timeout, kill the WHOLE group so the
     # launcher's jax.distributed rank subprocesses can't leak as orphans
     # (subprocess.run's timeout only kills the launcher)
     p = subprocess.Popen(
-        [sys.executable, os.path.join(_SCRIPTS, script)],
+        [sys.executable, os.path.join(_SCRIPTS, script), *args],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         start_new_session=True,
     )
@@ -42,3 +42,17 @@ def test_multihost_encode_smoke():
     """2 jax.distributed ranks, DP x TP with the model axis spanning
     processes; sharded q4_0 encode vs single-process."""
     _run("multihost_cpu_smoke.py")
+
+
+def test_multihost_serve_smoke_3proc():
+    """3 serve --distributed ranks: a non-power-of-two host count exercises
+    the collective row bucketing (engine._collective_rows) whose original
+    bug only appeared when nproc does not divide the bucket ladder."""
+    _run("multihost_serve_smoke.py", "--nproc", "3")
+
+
+def test_multihost_encode_smoke_3proc():
+    """3 jax.distributed ranks, DP=2 x TP=3 spanning processes (TP=3 divides
+    the vision tower's 12 heads): uneven-host sharded encode bit-matches
+    single-process."""
+    _run("multihost_cpu_smoke.py", "--nproc", "3")

@@ -131,3 +131,109 @@ def test_multihost_batcher_bad_payload_is_host_local(tmp_path_factory, rng):
         np.testing.assert_allclose(
             after.result(60), base.encode_text("tok2"), **TOL)
     base.close(); eng.close()
+
+
+# -- /v1/zsl over HTTP: label-set caching + templates -------------------------
+
+
+@pytest.fixture()
+def http_server(engine):
+    """Real HTTP server on a free port over a ContinuousBatcher."""
+    import http.client
+    import json as _json
+    import threading
+
+    from clip_tpu.cli.serve import ZslLabelCache, _Server, make_handler
+
+    with ContinuousBatcher(engine, max_batch=8, max_wait_ms=2) as b:
+        cache = ZslLabelCache(b, timeout_s=60.0)
+        server = _Server(("127.0.0.1", 0), make_handler(
+            engine, b, 60.0, label_cache=cache))
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+
+        def post(path, obj):
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            conn.request("POST", path, _json.dumps(obj),
+                         {"Content-Type": "application/json"})
+            r = conn.getresponse()
+            out = _json.loads(r.read())
+            conn.close()
+            return r.status, out
+
+        try:
+            yield post, b
+        finally:
+            server.shutdown()
+            server.socket.close()
+
+
+def _apple_b64():
+    import base64
+
+    with open(APPLE, "rb") as f:
+        return base64.b64encode(f.read()).decode()
+
+
+def test_zsl_endpoint_matches_engine_and_caches(engine, http_server):
+    post, batcher = http_server
+    labels = ["tok1 tok2", "tok2", "tok1"]
+    b64 = _apple_b64()
+
+    status, out = post("/v1/zsl", {"image_b64": b64, "labels": labels})
+    assert status == 200
+    # reference through the same data path as serving (host preprocess; the
+    # engine's one-shot API would take the on-device-preprocess route, whose
+    # bicubic differs at the last ulp — enough to flip a random-weight argsort)
+    from clip_tpu.engine import softmax_with_sorting
+
+    ivec = engine.encode_image(
+        engine.preprocess([engine.load_image(APPLE)]),
+        normalize=False, preprocessed=True)[0]
+    tvecs = engine.encode_text(labels, normalize=False)
+    ref_scores, ref_idx = softmax_with_sorting(tvecs @ ivec)
+    assert out["labels"] == [labels[int(i)] for i in ref_idx]
+    np.testing.assert_allclose(out["scores"], ref_scores, atol=1e-4)
+
+    # label embeddings must be served from the cache: the text lane's request
+    # count must NOT grow on repeat ZSL calls (only one more image encode)
+    txt_before = batcher.stats["text"]["requests"]
+    status, out2 = post("/v1/zsl", {"image_b64": b64, "labels": labels})
+    assert status == 200 and out2["labels"] == out["labels"]
+    assert batcher.stats["text"]["requests"] == txt_before
+
+
+def test_zsl_endpoint_templates(engine, http_server):
+    post, batcher = http_server
+    labels = ["tok1 tok2", "tok2"]
+    tpl = "a photo of a {}."
+    status, out = post("/v1/zsl", {
+        "image_b64": _apple_b64(), "labels": labels, "templates": tpl})
+    assert status == 200
+    from clip_tpu.engine import softmax_with_sorting
+
+    ivec = engine.encode_image(
+        engine.preprocess([engine.load_image(APPLE)]),
+        normalize=True, preprocessed=True)[0]
+    tvecs = engine.encode_class_names(labels, templates=tpl)
+    ref_scores, ref_idx = softmax_with_sorting(100.0 * (tvecs @ ivec))
+    assert out["labels"] == [labels[int(i)] for i in ref_idx]
+    np.testing.assert_allclose(out["scores"], ref_scores, atol=1e-4)
+
+    # distinct template spec = distinct cache entry; repeat hits the cache
+    txt_before = batcher.stats["text"]["requests"]
+    post("/v1/zsl", {"image_b64": _apple_b64(), "labels": labels,
+                     "templates": tpl})
+    assert batcher.stats["text"]["requests"] == txt_before
+
+
+def test_zsl_endpoint_rejects_bad_requests(http_server):
+    post, _ = http_server
+    status, out = post("/v1/zsl", {"image_b64": _apple_b64(),
+                                   "labels": ["only-one"]})
+    assert status == 400 and "2 labels" in out["error"]
+    status, out = post("/v1/zsl", {"image_b64": _apple_b64(),
+                                   "labels": ["a", "b"],
+                                   "templates": "no placeholder"})
+    assert status == 400
