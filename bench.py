@@ -62,11 +62,16 @@ def main() -> None:
         log("generating synthetic q4_0 ViT-B/32 vision checkpoint ...")
         make_synthetic_gguf(path, "ViT-B/32", ftype="q4_0", towers="vision")
 
+    from clip_tpu.engine import _convert_layers_to_w8
+
     reader = GGUFReader(path)
     cfg = ClipConfig.from_gguf(reader)
-    params = jax.device_put(
-        load_params(reader, cfg, keep_quantized=True, dtype=jnp.bfloat16)["vision"]
-    )
+    # W8A8: per-channel int8 weights + per-row int8 activations on the int8
+    # MXU (the engine's TPU default; +12% vs the bf16 dequant path and ~8%
+    # faster than dense bf16 — scripts/bench_w8a8_model.py)
+    params = jax.device_put(_convert_layers_to_w8(
+        load_params(reader, cfg, keep_quantized=True, dtype=jnp.bfloat16)
+    )["vision"])
 
     fn = jax.jit(
         functools.partial(

@@ -66,7 +66,7 @@ def _run(args, fout) -> int:
         return 1
 
     engine = ClipEngine(args.model, verbosity=args.verbosity,
-                        use_mesh=args.use_mesh)
+                        use_mesh=args.use_mesh, act_quant=args.act_quant)
     labels = list(classes.keys())
 
     t0 = time.perf_counter()

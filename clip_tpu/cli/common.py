@@ -43,6 +43,12 @@ def base_parser(prog: str, description: str, *, needs_text: bool = True,
                         "mesh (default: single chip); batches are "
                         "data-sharded and weights tensor-sharded via "
                         "jax.shard_map")
+    p.add_argument("--no-act-quant", dest="act_quant", action="store_false",
+                   default=None,
+                   help="disable int8 activation-quantized compute for "
+                        "quantized checkpoints (W8A8 is the TPU default: "
+                        "~12%% faster; disable for exact dequant-path "
+                        "numerics)")
     return p
 
 

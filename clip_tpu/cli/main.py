@@ -21,7 +21,7 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     engine = ClipEngine(args.model, verbosity=args.verbosity,
-                        use_mesh=args.use_mesh)
+                        use_mesh=args.use_mesh, act_quant=args.act_quant)
     t_load = time.perf_counter() - t0
 
     t0 = time.perf_counter()

@@ -24,7 +24,7 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     engine = ClipEngine(args.model, verbosity=args.verbosity,
-                        use_mesh=args.use_mesh)
+                        use_mesh=args.use_mesh, act_quant=args.act_quant)
     index = EmbeddingIndex(engine.projection_dim, model_path=args.model)
 
     all_paths: list[str] = []

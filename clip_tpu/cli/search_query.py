@@ -31,7 +31,7 @@ def main(argv=None) -> int:
         )
 
     engine = ClipEngine(args.model, verbosity=args.verbosity,
-                        use_mesh=args.use_mesh)
+                        use_mesh=args.use_mesh, act_quant=args.act_quant)
     if args.text:
         query = engine.encode_text(args.text[0], normalize=True)
     else:

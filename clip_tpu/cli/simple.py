@@ -19,7 +19,7 @@ def main(argv=None) -> int:
         p.error("exactly one --text and one --image are required")
 
     engine = ClipEngine(args.model, verbosity=args.verbosity,
-                        use_mesh=args.use_mesh)
+                        use_mesh=args.use_mesh, act_quant=args.act_quant)
 
     tokens = engine.tokenize(args.text[0])
     print(f"tokens: {tokens}")

@@ -68,6 +68,31 @@ def similarity_score(v1: np.ndarray, v2: np.ndarray) -> float:
     return float(np.dot(np.asarray(v1, np.float32), np.asarray(v2, np.float32)))
 
 
+_W8_LAYER_WEIGHTS = ("qkv_w", "o_w", "up_w", "down_w")
+
+
+def _convert_layers_to_w8(params: dict) -> dict:
+    """Re-quantize each tower's stacked 2-D transformer weights (QTensor
+    [L, N, K]) to per-channel int8 (host-side, one-time).  Embeddings, norms
+    and the output projections stay in their source format — their matmuls
+    are gather/small-M shaped, where the fused q4 path is already optimal."""
+    from .ops.qtensor import QTensor, to_w8tensor
+
+    out = dict(params)
+    for tower in ("text", "vision"):
+        if tower not in out or "layers" not in out[tower]:
+            continue
+        layers = dict(out[tower]["layers"])
+        for name in _W8_LAYER_WEIGHTS:
+            w = layers.get(name)
+            if isinstance(w, QTensor):
+                layers[name] = to_w8tensor(w)
+        t = dict(out[tower])
+        t["layers"] = layers
+        out[tower] = t
+    return out
+
+
 class ClipEngine:
     """Load a GGUF CLIP checkpoint and serve text/image embeddings."""
 
@@ -82,6 +107,7 @@ class ClipEngine:
         use_shard_map: bool | None = None,
         attn_impl: str = "auto",
         unroll: bool = False,
+        act_quant: bool | None = None,
         verbosity: int = 1,
     ):
         enable_compile_cache()
@@ -108,6 +134,20 @@ class ClipEngine:
             self.reader, self.config, keep_quantized=keep_quantized,
             dtype=self.compute_dtype,
         )
+
+        # int8-MXU activation-quantized compute (W8A8): re-quantize the 2-D
+        # transformer weights to per-channel int8 at load and run their
+        # matmuls with dynamically int8-quantized activations — 1.5x faster
+        # than the bf16 dequant-dot at throughput shapes on v6e-class chips
+        # (ops/linear.w8a8_matmul).  Mirrors the reference's own quantized-
+        # activation dots (ggml_vec_dot_q4_0_q8_0).  Auto: on for quantized
+        # checkpoints on TPU; off on CPU (slow int8 emulation, and the CPU
+        # test suite pins exact q4 dequant numerics).
+        if act_quant is None:
+            act_quant = jax.default_backend() == "tpu" and keep_quantized
+        self.act_quant = bool(act_quant)
+        if self.act_quant:
+            params = _convert_layers_to_w8(params)
 
         self.mesh = mesh
         if mesh is None and use_mesh and len(jax.devices()) > 1:

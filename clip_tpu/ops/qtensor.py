@@ -36,7 +36,8 @@ import numpy as np
 from ..gguf.constants import QK, GGMLType
 from ..quant import block_fields
 
-__all__ = ["QTensor", "from_ggml_blocks", "dequant", "take_rows"]
+__all__ = ["QTensor", "W8Tensor", "from_ggml_blocks", "dequant", "dequant_np",
+           "take_rows", "to_w8tensor"]
 
 _ZERO_POINT = {
     GGMLType.Q4_0: 8,
@@ -91,6 +92,85 @@ class QTensor:
         if self.hb is not None:
             n += self.hb.size * self.hb.dtype.itemsize
         return n
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class W8Tensor:
+    """Per-channel int8 weight for the int8-MXU activation-quantized path.
+
+    ``c8``: int8 codes ``[..., N, K]``; ``ws``: float32 per-output-channel
+    scales ``[..., N]`` — ``W ≈ c8 * ws[..., None]``.  Derived from a block-
+    quantized :class:`QTensor` at load time (:func:`to_w8tensor`); consumed by
+    ``ops.linear.w8a8_matmul``, which quantizes activations per-row to int8
+    and runs the dot on the int8 MXU (~2.5x the bf16 dot rate on v6e-class
+    chips; scripts/bench_int8.py).  This is the TPU analogue of ggml's own
+    quantized-activation dots (``ggml_vec_dot_q4_0_q8_0`` — the reference
+    ALSO quantizes activations to 8 bits for every quantized matmul;
+    SURVEY.md §2.1), with per-channel/per-row scales instead of per-32-block
+    because the MXU contracts the whole K axis in one pass.
+
+    ``qtype`` records the source format for reporting only.
+    """
+
+    c8: Any                # int8 codes [..., N, K]
+    ws: Any                # float32 per-channel scales [..., N]
+    qtype: GGMLType        # static: source format tag
+
+    def tree_flatten(self):
+        return (self.c8, self.ws), self.qtype
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        c8, ws = children
+        return cls(c8=c8, ws=ws, qtype=aux)
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        return tuple(self.c8.shape)
+
+    @property
+    def nbytes(self) -> int:
+        return self.c8.size + self.ws.size * self.ws.dtype.itemsize
+
+
+def dequant_np(qt: QTensor) -> np.ndarray:
+    """Host-side (numpy) dequantization — used for one-time load transforms
+    where pulling the weights through the accelerator would be wasteful.
+    Mirrors :func:`dequant` exactly."""
+    q = np.asarray(qt.q)
+    if qt.is_packed4 or qt.is_packed5:
+        lo = q & np.uint8(0x0F)
+        hi = q >> np.uint8(4)
+        q = np.stack([lo, hi], axis=-1).reshape(*q.shape[:-1], q.shape[-1] * 2)
+    if qt.is_packed5:
+        k = q.shape[-1]
+        plane = np.repeat(np.asarray(qt.hb), 8, axis=-1).astype(np.int32)
+        bit = (plane >> (np.arange(k, dtype=np.int32) % 8)) & 1
+        q = q.astype(np.int32) | (bit << 4)
+    codes = q.astype(np.float32)
+    if qt.zero_point:
+        codes = codes - float(qt.zero_point)
+    k = codes.shape[-1]
+    blocks = codes.reshape(*codes.shape[:-1], k // QK, QK)
+    w = blocks * np.asarray(qt.d)[..., None]
+    if qt.m is not None:
+        w = w + np.asarray(qt.m)[..., None]
+    return w.reshape(*codes.shape[:-1], k).astype(np.float32)
+
+
+def to_w8tensor(qt: QTensor) -> W8Tensor:
+    """Re-quantize a block-quantized weight to per-channel int8 (host-side).
+
+    The per-channel scale is ``amax_K |W| / 127``; the extra error vs the
+    source block format is bounded by the channel's cross-block dynamic range
+    and measures ~1e-3 relative on CLIP weights (tests/test_w8a8.py) — an
+    order below q4_0's own quantization error."""
+    w = dequant_np(qt)
+    ws = np.abs(w).max(axis=-1) / 127.0
+    ws = np.maximum(ws, 1e-12)
+    c8 = np.clip(np.rint(w / ws[..., None]), -127, 127).astype(np.int8)
+    return W8Tensor(c8=c8, ws=ws.astype(np.float32), qtype=qt.qtype)
 
 
 def from_ggml_blocks(

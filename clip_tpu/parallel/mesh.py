@@ -25,7 +25,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.qtensor import QTensor
+from ..ops.qtensor import QTensor, W8Tensor
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
@@ -82,6 +82,12 @@ def param_specs(params: Any, n_model: int) -> Any:
             mspec = None if node.m is None else spec
             hspec = None if node.hb is None else spec
             return QTensor(q=spec, d=spec, m=mspec, qtype=node.qtype, hb=hspec)
+        if isinstance(node, W8Tensor):
+            # c8 [L, N, K] shards like a dense weight; ws [L, N] drops the
+            # K entry (sharded-K leaves the per-channel scales replicated)
+            spec = _leaf_spec(path, node, n_model)
+            wspec = P(*tuple(spec)[:2]) if len(tuple(spec)) >= 2 else P()
+            return W8Tensor(c8=spec, ws=wspec, qtype=node.qtype)
         return _leaf_spec(path, node, n_model)
 
     return walk(params, ())
@@ -132,6 +138,12 @@ def _shard_tree(params, specs, mesh):
             qtype=params.qtype,
             hb=None if params.hb is None else _put(params.hb, hs, mesh),
         )
+    if isinstance(params, W8Tensor):
+        ok = (_divisible(params.c8, specs.c8, mesh)
+              and _divisible(params.ws, specs.ws, mesh))
+        cs, ws_ = (specs.c8, specs.ws) if ok else (P(), P())
+        return W8Tensor(c8=_put(params.c8, cs, mesh),
+                        ws=_put(params.ws, ws_, mesh), qtype=params.qtype)
     return _put(params, specs, mesh)
 
 
@@ -178,6 +190,9 @@ def _permute_rows(w, idx):
             qtype=w.qtype,
             hb=None if w.hb is None else np.asarray(w.hb)[:, idx],
         )
+    if isinstance(w, W8Tensor):
+        return W8Tensor(c8=np.asarray(w.c8)[:, idx], ws=np.asarray(w.ws)[:, idx],
+                        qtype=w.qtype)
     return np.asarray(w)[:, idx]
 
 
@@ -229,6 +244,9 @@ def spmd_compatible(params: Any, mesh: Mesh, n_heads: dict) -> bool:
             if node.hb is not None:
                 good = good and _divisible(node.hb, spec.hb, mesh)
             return good
+        if isinstance(node, W8Tensor):
+            return (_divisible(node.c8, spec.c8, mesh)
+                    and _divisible(node.ws, spec.ws, mesh))
         if node is None:
             return True
         return _divisible(node, spec, mesh)

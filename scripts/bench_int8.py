@@ -24,8 +24,11 @@ factor or CSE the loop).
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +40,7 @@ M = int(sys.argv[1]) if len(sys.argv) > 1 else 12800
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 768
 N = int(sys.argv[3]) if len(sys.argv) > 3 else 3072
 
-FLOPS = 2.0 * M * K * N
+FLOPS = 2 * M * K * N
 
 
 # ------------------------------------------------------------------ variants
@@ -123,70 +126,77 @@ def make_pallas(kind, bm, bn):
 
 
 # ------------------------------------------------------------------ driver
-def time_variant(name, fn, x0, int8_chain, args):
-    """Slope timing; the chain step derives the next [M,K] input from the
-    [M,N] output nonlinearly so nothing folds."""
+DEEP, SHALLOW = 18, 2
 
-    def chain(y):
-        z = y[:, :K]
-        if int8_chain:
-            return (z >> jnp.int32(7)).astype(jnp.int8) if z.dtype == jnp.int32 \
-                else jnp.clip(z, -127, 127).astype(jnp.int8)
-        return jnp.tanh(z.astype(jnp.float32) * 1e-3).astype(jnp.bfloat16)
+
+def time_variant(name, fn, xs, args):
+    """Slope timing over INDEPENDENT GEMMs: depth-d runs d distinct
+    pre-staged inputs through fn, each output consumed by a max-reduce that
+    XLA fuses into the GEMM epilogue.  (Chaining outputs back into inputs —
+    the usual anti-DCE trick — costs a full [M, N] HBM read per step here,
+    ~0.35 ms at these shapes, which buried the GEMM differences: every
+    variant measured 53-63 'TF/s'.  Distinct inputs kill CSE; the fused
+    reduce kills DCE and slicing; no chain bandwidth.)"""
 
     def make(depth):
         @jax.jit
-        def run(x, *a):
-            for _ in range(depth):
-                x = chain(fn(x, *a))
-            return jnp.max(jnp.abs(x.astype(jnp.float32)))
+        def run(xs, *a):
+            acc = jnp.float32(0)
+            for i in range(depth):
+                y = fn(xs[i], *a)
+                acc = acc + jnp.max(jnp.abs(y).astype(jnp.float32))
+            return acc
         return run
 
-    shallow, deep = 2, 18
-    run_s, run_d = make(shallow), make(deep)
+    run_s, run_d = make(SHALLOW), make(DEEP)
     try:
-        np.asarray(run_s(x0, *args)); np.asarray(run_d(x0, *args))
+        np.asarray(run_s(xs, *args)); np.asarray(run_d(xs, *args))
     except Exception as e:
-        print(f"{name:16s}  FAILED: {type(e).__name__}: {str(e)[:160]}")
+        print(f"{name:16s}  FAILED: {type(e).__name__}: {str(e)[:160]}", flush=True)
         return None
 
     def best(run):
         ts = []
         for _ in range(5):
             t0 = time.perf_counter()
-            np.asarray(run(x0, *args))
+            np.asarray(run(xs, *args))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    per = (best(run_d) - best(run_s)) / (deep - shallow)
+    per = (best(run_d) - best(run_s)) / (DEEP - SHALLOW)
     eff = FLOPS / per / 1e12
-    print(f"{name:16s}  {per * 1e3:7.3f} ms/gemm  {eff:7.1f} T(FL)OP/s")
+    print(f"{name:16s}  {per * 1e3:7.3f} ms/gemm  {eff:7.1f} T(FL)OP/s", flush=True)
     return per
 
 
 def main():
-    print(f"M={M} K={K} N={N} backend={jax.default_backend()}")
+    from clip_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+    print(f"M={M} K={K} N={N} backend={jax.default_backend()}", flush=True)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
-    x8 = jnp.asarray(rng.integers(-127, 127, (M, K)), jnp.int8)
+    xs = tuple(jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+               for _ in range(DEEP))
+    xs8 = tuple(jnp.asarray(rng.integers(-127, 127, (M, K)), jnp.int8)
+                for _ in range(DEEP))
     w = rng.standard_normal((N, K)).astype(np.float32)
     wT = jnp.asarray(w.T, jnp.bfloat16)
     w8 = np.clip(np.round(w / (np.abs(w).max(1, keepdims=True) / 127)), -127, 127)
     w8T = jnp.asarray(w8.T, jnp.int8)
     wscale = jnp.asarray(np.abs(w).max(1) / 127, jnp.float32)
 
-    time_variant("xla_bf16", xla_bf16, x, False, (wT, w8T, wscale))
-    time_variant("xla_int8_pre", xla_int8_pre, x8, True, (wT, w8T, wscale))
-    time_variant("xla_w8a8", xla_w8a8, x, False, (wT, w8T, wscale))
-    for bm, bn in ((256, 256), (512, 512), (256, 512)):
+    time_variant("xla_bf16", xla_bf16, xs, (wT, w8T, wscale))
+    time_variant("xla_int8_pre", xla_int8_pre, xs8, (wT, w8T, wscale))
+    time_variant("xla_w8a8", xla_w8a8, xs, (wT, w8T, wscale))
+    for bm, bn in ((256, 256), (512, 512)):
         if M % bm or N % bn:
             continue
-        time_variant(f"pl_bf16_{bm}x{bn}", make_pallas("bf16", bm, bn), x,
-                     False, (wT, w8T, wscale))
-        time_variant(f"pl_int8_{bm}x{bn}", make_pallas("int8", bm, bn), x8,
-                     True, (wT, w8T, wscale))
-        time_variant(f"pl_w8a8_{bm}x{bn}", make_pallas("w8a8", bm, bn), x,
-                     False, (wT, w8T, wscale))
+        time_variant(f"pl_bf16_{bm}x{bn}", make_pallas("bf16", bm, bn), xs,
+                     (wT, w8T, wscale))
+        time_variant(f"pl_int8_{bm}x{bn}", make_pallas("int8", bm, bn), xs8,
+                     (wT, w8T, wscale))
+        time_variant(f"pl_w8a8_{bm}x{bn}", make_pallas("w8a8", bm, bn), xs,
+                     (wT, w8T, wscale))
 
 
 if __name__ == "__main__":

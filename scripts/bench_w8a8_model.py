@@ -1,0 +1,85 @@
+"""In-model A/B: W8A8 activation-quantized compute vs the bf16 dequant path.
+
+Times the full q4_0 ViT-B/32 vision encode (bench.py protocol shapes) with:
+  q4_bf16   current path (dequant folded into bf16 GEMMs)
+  q4_w8a8   per-channel int8 weights + per-row int8 activations (int8 MXU)
+  dense     dense bf16 weights (the round-2 'quantized should beat this' bar)
+
+Run: python scripts/bench_w8a8_model.py [batch] [variant]
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from clip_tpu.engine import _convert_layers_to_w8
+from clip_tpu.gguf import GGUFReader
+from clip_tpu.models.config import ClipConfig
+from clip_tpu.models.params import load_params
+from clip_tpu.models.vision import encode_image
+from clip_tpu.synth import make_synthetic_gguf
+from clip_tpu.utils import enable_compile_cache
+
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 448
+VARIANT = sys.argv[2] if len(sys.argv) > 2 else "ViT-B/32"
+ITERS = 10
+
+
+def main():
+    enable_compile_cache()
+    print(f"backend={jax.default_backend()} B={BATCH} {VARIANT}", flush=True)
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache")
+    os.makedirs(cache, exist_ok=True)
+    tag = VARIANT.replace("/", "-").replace("ViT", "vit").lower()
+    path = os.path.join(cache, f"bench_{tag}_q4_0_vision.gguf")
+    if not os.path.exists(path):
+        make_synthetic_gguf(path, VARIANT, ftype="q4_0", towers="vision")
+
+    reader = GGUFReader(path)
+    cfg = ClipConfig.from_gguf(reader)
+    pq = load_params(reader, cfg, keep_quantized=True, dtype=jnp.bfloat16)
+    pw8 = _convert_layers_to_w8(pq)
+    pdense = load_params(reader, cfg, keep_quantized=False, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    size = cfg.vision.image_size
+    pixels = jax.device_put(jnp.asarray(
+        rng.standard_normal((BATCH, size, size, 3)), jnp.bfloat16))
+
+    def run_one(name, params):
+        params = jax.device_put(params["vision"])
+        fn = jax.jit(functools.partial(
+            encode_image, cfg=cfg.vision, use_gelu=cfg.use_gelu,
+            normalize=True, compute_dtype=jnp.bfloat16))
+        out = fn(params, pixels=pixels)
+        float(jnp.sum(out))
+        ts = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                out = fn(params, pixels=pixels)
+            float(jnp.sum(out))
+            ts.append((time.perf_counter() - t0) / ITERS)
+        dt = min(ts)
+        print(f"{name:9s}  {dt * 1e3:7.2f} ms/step  {BATCH / dt:8.0f} img/s",
+              flush=True)
+        del params
+        return dt
+
+    run_one("q4_bf16", pq)
+    run_one("q4_w8a8", pw8)
+    run_one("dense", pdense)
+    run_one("q4_w8a8b", pw8)  # drift check
+
+
+if __name__ == "__main__":
+    main()

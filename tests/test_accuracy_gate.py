@@ -189,7 +189,9 @@ def test_gate_sensitivity_canary(tmp_path, rng):
     qp = str(tmp_path / "tiny.q4_0.gguf")
     quantize_model(src, qp, "q4_0", verbose=False)
 
-    eng = ClipEngine(qp, verbosity=0)
+    # act_quant=False: the canary corrupts the q4 block scales, so the engine
+    # must keep QTensor layers (on TPU the default converts them to int8)
+    eng = ClipEngine(qp, verbosity=0, act_quant=False)
     clean = eng.encode_text(["tok1 tok2", "tok2"], normalize=True)
 
     # corrupt: scale the first layer's qkv scales by 8x (a layout/scale bug
