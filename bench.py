@@ -43,6 +43,19 @@ def log(msg: str) -> None:
 
 
 def main() -> None:
+    # Persistent XLA cache, repo-local and committed: XLA's TPU int8-GEMM
+    # autotuning runs thousands of candidate dispatches and each one pays
+    # this environment's ~20-30 ms relay round trip, so a FRESH compile of
+    # the W8A8 program costs ~27 min (measured; ~4 distinct GEMM shapes x
+    # ~2-7 min each).  The committed cache entry turns that into a ~10 s
+    # load; delete .cache/xla_bench to reproduce the cold number.
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "xla_bench"))
+    from clip_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -80,7 +93,8 @@ def main() -> None:
             use_gelu=cfg.use_gelu,
             normalize=True,
             compute_dtype=jnp.bfloat16,
-            unroll=True,  # steady-state serving config (clip-tpu-serve --unroll)
+            # scan (not unroll): with W8A8 scan is FASTER (31.1 vs 32.6 ms at
+            # B=448) *and* avoids round-2's 556 s unroll compile
         )
     )
 

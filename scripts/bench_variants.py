@@ -43,10 +43,13 @@ def bench(variant: str) -> tuple[float, float]:
     path = os.path.join(cache, f"bench_{tag}_q4_0_vision.gguf")
     if not os.path.exists(path):
         make_synthetic_gguf(path, variant, ftype="q4_0", towers="vision")
+    from clip_tpu.engine import _convert_layers_to_w8
+
     reader = GGUFReader(path)
     cfg = ClipConfig.from_gguf(reader)
-    params = jax.device_put(
-        load_params(reader, cfg, keep_quantized=True, dtype=jnp.bfloat16)["vision"])
+    # W8A8 int8 compute: the engine's TPU default (round-3)
+    params = jax.device_put(_convert_layers_to_w8(
+        load_params(reader, cfg, keep_quantized=True, dtype=jnp.bfloat16))["vision"])
     b = BATCHES[variant]
     px = jax.device_put(np.random.default_rng(0).normal(
         size=(b, cfg.vision.image_size, cfg.vision.image_size, 3))
