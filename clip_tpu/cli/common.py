@@ -49,6 +49,10 @@ def base_parser(prog: str, description: str, *, needs_text: bool = True,
                         "quantized checkpoints (W8A8 is the TPU default: "
                         "~12%% faster; disable for exact dequant-path "
                         "numerics)")
+    p.add_argument("--act-quant", dest="act_quant", action="store_true",
+                   help="force int8 activation-quantized compute, including "
+                        "for DENSE f16/f32 checkpoints (~1e-3 relative "
+                        "weight error for the int8 MXU's dot rate)")
     return p
 
 

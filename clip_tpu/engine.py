@@ -71,11 +71,15 @@ def similarity_score(v1: np.ndarray, v2: np.ndarray) -> float:
 _W8_LAYER_WEIGHTS = ("qkv_w", "o_w", "up_w", "down_w")
 
 
-def _convert_layers_to_w8(params: dict) -> dict:
+def _convert_layers_to_w8(params: dict, include_dense: bool = False) -> dict:
     """Re-quantize each tower's stacked 2-D transformer weights (QTensor
     [L, N, K]) to per-channel int8 (host-side, one-time).  Embeddings, norms
     and the output projections stay in their source format — their matmuls
-    are gather/small-M shaped, where the fused q4 path is already optimal."""
+    are gather/small-M shaped, where the fused q4 path is already optimal.
+
+    ``include_dense`` additionally converts DENSE (f16/f32-sourced) layer
+    weights — the opt-in explicit ``act_quant=True`` mode for unquantized
+    checkpoints, off by default so f16 numerics never change silently."""
     from .ops.qtensor import QTensor, to_w8tensor
 
     out = dict(params)
@@ -85,7 +89,8 @@ def _convert_layers_to_w8(params: dict) -> dict:
         layers = dict(out[tower]["layers"])
         for name in _W8_LAYER_WEIGHTS:
             w = layers.get(name)
-            if isinstance(w, QTensor):
+            if isinstance(w, QTensor) or (
+                include_dense and w is not None and not isinstance(w, QTensor)):
                 layers[name] = to_w8tensor(w)
         t = dict(out[tower])
         t["layers"] = layers
@@ -143,11 +148,12 @@ class ClipEngine:
         # activation dots (ggml_vec_dot_q4_0_q8_0).  Auto: on for quantized
         # checkpoints on TPU; off on CPU (slow int8 emulation, and the CPU
         # test suite pins exact q4 dequant numerics).
+        explicit = act_quant is True  # user opt-in: also int8-ize dense f16
         if act_quant is None:
             act_quant = jax.default_backend() == "tpu" and keep_quantized
         self.act_quant = bool(act_quant)
         if self.act_quant:
-            params = _convert_layers_to_w8(params)
+            params = _convert_layers_to_w8(params, include_dense=explicit)
 
         self.mesh = mesh
         if mesh is None and use_mesh and len(jax.devices()) > 1:

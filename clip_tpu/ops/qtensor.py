@@ -159,18 +159,26 @@ def dequant_np(qt: QTensor) -> np.ndarray:
     return w.reshape(*codes.shape[:-1], k).astype(np.float32)
 
 
-def to_w8tensor(qt: QTensor) -> W8Tensor:
-    """Re-quantize a block-quantized weight to per-channel int8 (host-side).
+def to_w8tensor(qt) -> W8Tensor:
+    """Re-quantize a weight to per-channel int8 (host-side).
 
-    The per-channel scale is ``amax_K |W| / 127``; the extra error vs the
-    source block format is bounded by the channel's cross-block dynamic range
-    and measures ~1e-3 relative on CLIP weights (tests/test_w8a8.py) — an
-    order below q4_0's own quantization error."""
-    w = dequant_np(qt)
+    Accepts a block-quantized :class:`QTensor` (the TPU default for quantized
+    checkpoints) or a dense ``[..., N, K]`` array (opt-in ``act_quant=True``
+    for f16/f32 checkpoints — trades ~1e-3 relative weight error for the int8
+    MXU's ~2.5x dot rate).  The per-channel scale is ``amax_K |W| / 127``;
+    for block formats the extra error vs the source format is bounded by the
+    channel's cross-block dynamic range and measures ~1e-3 relative on CLIP
+    weights (tests/test_w8a8.py) — an order below q4_0's own quantization
+    error."""
+    if isinstance(qt, QTensor):
+        w, qtype = dequant_np(qt), qt.qtype
+    else:
+        w = np.asarray(jax.device_get(qt), dtype=np.float32)
+        qtype = GGMLType.F16
     ws = np.abs(w).max(axis=-1) / 127.0
     ws = np.maximum(ws, 1e-12)
     c8 = np.clip(np.rint(w / ws[..., None]), -127, 127).astype(np.int8)
-    return W8Tensor(c8=c8, ws=ws.astype(np.float32), qtype=qt.qtype)
+    return W8Tensor(c8=c8, ws=ws.astype(np.float32), qtype=qtype)
 
 
 def from_ggml_blocks(

@@ -14,6 +14,11 @@ heads are 80 wide.  This script races, in-run:
   xla         XLA einsum attention reference
   noattn      attention core skipped (attributes the attention-stage time)
 
+Each attention variant is raced twice: with the bf16 dequant GEMMs (round-2
+path) and with W8A8 (per-channel int8 weights + per-row int8 activations on
+the int8 MXU, the round-3 engine default) — W8A8 is a pure GEMM change with
+no d_head gate, so it is H/14's first ungated lever since round 1.
+
 Run: python scripts/bench_h14.py [batch ...]
 """
 
@@ -55,9 +60,12 @@ def load_tower():
         make_synthetic_gguf(path, VARIANT, ftype="q5_1", towers="vision")
     reader = GGUFReader(path)
     cfg = ClipConfig.from_gguf(reader)
-    params = jax.device_put(
-        load_params(reader, cfg, keep_quantized=True, dtype=jnp.bfloat16)["vision"])
-    return cfg, params
+    from clip_tpu.engine import _convert_layers_to_w8
+
+    base = load_params(reader, cfg, keep_quantized=True, dtype=jnp.bfloat16)
+    params = jax.device_put(base["vision"])
+    params_w8 = jax.device_put(_convert_layers_to_w8(base)["vision"])
+    return cfg, params, params_w8
 
 
 def make_fn(cfg, mode: str):
@@ -146,7 +154,7 @@ def time_mode(name, fn, params, pixels, patch=None):
 def main():
     enable_compile_cache()
     print(f"backend={jax.default_backend()} variant={VARIANT}")
-    cfg, params = load_tower()
+    cfg, params, params_w8 = load_tower()
     rng = np.random.default_rng(0)
     for b in BATCHES:
         pixels = jax.device_put(jnp.asarray(
@@ -154,8 +162,11 @@ def main():
             jnp.bfloat16))
         base_fn = make_fn(cfg, "base")
         t_base = time_mode("base", base_fn, params, pixels)
+        time_mode("w8a8", base_fn, params_w8, pixels)
         time_mode("pad264", make_fn(cfg, "pad264"), params, pixels, patch="noflat")
+        time_mode("w8+p264", make_fn(cfg, "pad264"), params_w8, pixels, patch="noflat")
         time_mode("flat264", make_fn(cfg, "flat264"), params, pixels)
+        time_mode("w8+f264", make_fn(cfg, "flat264"), params_w8, pixels)
         time_mode("xla", make_fn(cfg, "xla"), params, pixels)
         time_mode("noattn", make_fn(cfg, "noattn"), params, pixels, patch="noattn")
         if t_base:

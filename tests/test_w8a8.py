@@ -104,6 +104,38 @@ def test_engine_act_quant_matches_dequant_path(tmp_path, rng):
     base.close(); w8.close()
 
 
+def test_engine_act_quant_dense_checkpoint(tmp_path, rng):
+    """Explicit act_quant=True on a DENSE (f32/f16) checkpoint int8-izes the
+    2-D layer weights too (opt-in serving mode); auto mode must never touch
+    dense weights (f16 numerics stay exact unless asked)."""
+    src, _ = tiny_gguf(tmp_path, use_f32=True)
+
+    base = ClipEngine(src, verbosity=0, act_quant=False)
+    auto = ClipEngine(src, verbosity=0)            # auto: dense stays dense
+    w8 = ClipEngine(src, verbosity=0, act_quant=True)
+    assert not isinstance(auto.params["text"]["layers"]["qkv_w"], W8Tensor)
+    assert isinstance(w8.params["text"]["layers"]["qkv_w"], W8Tensor)
+    assert w8.params["text"]["layers"]["qkv_w"].qtype == GGMLType.F16
+
+    texts = ["tok1 tok2", "tok2", "tok1 tok1 tok2"]
+    img = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+    t0 = base.encode_text(texts, normalize=True)
+    t1 = w8.encode_text(texts, normalize=True)
+    i0 = base.encode_image(img, normalize=True)
+    i1 = w8.encode_image(img, normalize=True)
+    assert (t0 * t1).sum(1).min() > 0.999
+    assert float(i0 @ i1) > 0.999
+    base.close(); auto.close(); w8.close()
+
+
+def test_to_w8tensor_dense_roundtrip(rng):
+    w = (rng.standard_normal((32, 64)) * 0.05).astype(np.float32)
+    w8 = to_w8tensor(w)
+    rec = w8.c8.astype(np.float32) * w8.ws[:, None]
+    rel = np.abs(rec - w).max() / np.abs(w).max()
+    assert rel < 1.5 / 127, rel
+
+
 @pytest.mark.parametrize("n_model", [2])
 def test_w8_sharding_specs_and_permute(rng, n_model):
     """W8Tensor shards like a dense weight (c8 col/row-parallel, ws follows N
