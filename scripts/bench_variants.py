@@ -54,9 +54,11 @@ def bench(variant: str) -> tuple[float, float]:
     px = jax.device_put(np.random.default_rng(0).normal(
         size=(b, cfg.vision.image_size, cfg.vision.image_size, 3))
         .astype(np.float32).astype(jnp.bfloat16))  # host-staged, bit-identical
+    # scan (the engine default): with W8A8, scan beat unroll on B/32 (31.1 vs
+    # 32.6 ms) and each unroll compile costs minutes through the relay
     fn = jax.jit(functools.partial(
         encode_image, cfg=cfg.vision, use_gelu=cfg.use_gelu,
-        normalize=True, compute_dtype=jnp.bfloat16, unroll=True))
+        normalize=True, compute_dtype=jnp.bfloat16))
     out = fn(params, pixels=px)
     float(jnp.sum(out))
     ts = []

@@ -151,6 +151,36 @@ def test_use_shard_map_true_rejects_incompatible(tiny_q):
         ClipEngine(tiny_q, mesh=mesh, use_shard_map=True, verbosity=0)
 
 
+@pytest.mark.parametrize("n_data,n_model", [(4, 2), (2, 4)])
+def test_shard_map_w8a8_matches_single_device(tiny_q, rng, n_data, n_model):
+    """W8A8 (per-channel int8 weights + per-row int8 activations — the
+    engine's TPU default) under shard_map TP: ``c8`` shards like a dense
+    weight, ``ws`` like a column bias.  The row-parallel K split quantizes
+    each shard's activations with its LOCAL amax, so TP output is not
+    bit-identical to single-device W8A8 (each shard's rescale is exact for
+    its own int8 codes — a finer-grained, equally valid quantization);
+    assert agreement at quantization tolerance instead."""
+    from clip_tpu.engine import ClipEngine
+    from clip_tpu.ops.qtensor import W8Tensor
+
+    base = ClipEngine(tiny_q, verbosity=0, act_quant=True)
+    eng = ClipEngine(tiny_q, mesh=make_mesh(n_data, n_model), verbosity=0,
+                     act_quant=True)
+    assert isinstance(eng.params["vision"]["layers"]["qkv_w"], W8Tensor)
+
+    pixels = rng.normal(size=(8, 28, 28, 3)).astype(np.float32)
+    out = eng.encode_image(pixels, normalize=True, preprocessed=True)
+    ref = base.encode_image(pixels, normalize=True, preprocessed=True)
+    cos = np.sum(out * ref, axis=-1)
+    assert cos.min() > 0.999, f"min cos {cos.min()}"
+
+    out_t = eng.encode_text(["a", "b", "ab", "ba"])
+    ref_t = base.encode_text(["a", "b", "ab", "ba"])
+    cos_t = np.sum(out_t * ref_t, axis=-1)
+    assert cos_t.min() > 0.999, f"min cos {cos_t.min()}"
+    base.close(); eng.close()
+
+
 def test_shard_map_q5_packed_planes(tiny_q, rng, tmp_path_factory):
     """q5_0's packed device layout (nibble plane + high-bit plane) must
     shard consistently under shard_map TP: all three planes split on the
