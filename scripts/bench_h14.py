@@ -6,9 +6,11 @@ heads are 80 wide.  This script races, in-run:
 
   base        current production path (padded 3-D kernel, per-layer S 257->264
               in-kernel pad)
-  pad264      pad-once at embedding to S=264 but FORCE the padded 3-D kernel
-              (kills 32 per-layer HBM pad passes; avoids the 80-wide lane
-              slices the flat path mishandles) — never measured in round 2
+  pad272      pad-once at embedding to S=272 (the padded kernel's bf16
+              sublane tile is 16, so 272 — not 264 — is what makes its
+              per-layer jnp.pad a no-op) and FORCE the padded 3-D kernel
+              (avoids the 80-wide lane slices the flat path mishandles) —
+              never measured in round 2
   flat264     pad-once + let the flat kernel/2-D qkv engage (round-2's -10%,
               re-raced with the current kernels)
   xla         XLA einsum attention reference
@@ -88,6 +90,11 @@ def make_fn(cfg, mode: str):
 
     vcfg = cfg.vision
 
+    # the padded 3-D kernel's bf16 sublane tile is 16, so the pad-once that
+    # fully kills its per-layer jnp.pad must go to a 16-multiple (257->272);
+    # the flat kernel only needs 8 (257->264)
+    mult = 16 if mode == "pad272" else 8
+
     def fn(params, pixels):
         b = pixels.shape[0]
         x = patch_embed(pixels.astype(jnp.bfloat16),
@@ -100,7 +107,7 @@ def make_fn(cfg, mode: str):
         x = x + pos[None, :, :]
         x = layernorm(x, params["pre_ln_w"], params["pre_ln_b"], vcfg.eps)
         s_real = x.shape[1]
-        sp = -(-s_real // 8) * 8
+        sp = -(-s_real // mult) * mult
         x = jnp.pad(x, ((0, 0), (0, sp - s_real), (0, 0)))
         x = transformer.run_blocks(
             x, params["layers"], n_head=vcfg.n_head, eps=vcfg.eps,
@@ -163,8 +170,8 @@ def main():
         base_fn = make_fn(cfg, "base")
         t_base = time_mode("base", base_fn, params, pixels)
         time_mode("w8a8", base_fn, params_w8, pixels)
-        time_mode("pad264", make_fn(cfg, "pad264"), params, pixels, patch="noflat")
-        time_mode("w8+p264", make_fn(cfg, "pad264"), params_w8, pixels, patch="noflat")
+        time_mode("pad272", make_fn(cfg, "pad272"), params, pixels, patch="noflat")
+        time_mode("w8+p272", make_fn(cfg, "pad272"), params_w8, pixels, patch="noflat")
         time_mode("flat264", make_fn(cfg, "flat264"), params, pixels)
         time_mode("w8+f264", make_fn(cfg, "flat264"), params_w8, pixels)
         time_mode("xla", make_fn(cfg, "xla"), params, pixels)

@@ -25,4 +25,5 @@ run headline 1200 python bench.py
 run text     2400 python scripts/bench_text.py 256
 run h14      5400 python scripts/bench_h14.py 32
 run variants 5400 python scripts/bench_variants.py
+run serving  3600 python scripts/serve_loadtest.py
 echo "ALL DONE $(date +%H:%M:%S)" | tee -a .cache/round3/driver.log
