@@ -93,6 +93,39 @@ def w8a8_pre(codes, sx, w8: W8Tensor, compute_dtype=jnp.bfloat16):
     return (acc.astype(jnp.float32) * sx * w8.ws[None, :]).astype(compute_dtype)
 
 
+def _gq_kernel(x_ref, o_ref, s_ref):
+    x = x_ref[:].astype(jnp.float32)
+    y = x * jax.lax.logistic(1.702 * x)                    # gelu_quick
+    amax = jnp.max(jnp.abs(y), axis=1, keepdims=True)
+    sx = amax / 127.0 + 1e-12
+    o_ref[:] = jnp.clip(jnp.round(y / sx), -127, 127).astype(jnp.int8)
+    s_ref[:] = sx
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def gq_pallas(x, *, block_rows=800, interpret=False):
+    """gelu_quick + per-row dynamic int8 quant in one VMEM pass — the
+    down-proj input is the model's largest activation ([rows, 4H]): int8
+    halves its write bytes and the separate amax pass disappears."""
+    rows, h = x.shape
+    rp = -(-rows // block_rows) * block_rows
+    xp = jnp.pad(x, ((0, rp - rows), (0, 0)))
+    codes, scales = pl.pallas_call(
+        _gq_kernel,
+        out_shape=(jax.ShapeDtypeStruct((rp, h), jnp.int8),
+                   jax.ShapeDtypeStruct((rp, 1), jnp.float32)),
+        grid=(rp // block_rows,),
+        in_specs=[pl.BlockSpec((block_rows, h), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((block_rows, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(xp)
+    return codes[:rows], scales[:rows]
+
+
 def slope_time(name, fn, inputs):
     """min-of-slope timing: each call consumes a DIFFERENT pre-staged input
     so nothing chains, each result is max-reduced (fuses into the epilogue)."""
@@ -144,6 +177,38 @@ def main():
     t_q = slope_time("lnq", jax.jit(path_lnq), xs)
     slope_time("ln_only", jax.jit(lambda x: layernorm(x, lw, lb, EPS)), xs)
     print(f"lnq speedup vs xla pair: {t_x / t_q:.3f}x", flush=True)
+
+    # -- gelu->quant at the down-proj shape: [rows, 4H] is the model's
+    # largest activation, so this is where int8 staging pays most
+    from clip_tpu.ops.nn import gelu_quick
+
+    f = 4 * H
+    wdf = rng.normal(0, 0.02, (H, f)).astype(np.float32)
+    wds = (np.abs(wdf).max(axis=1) / 127.0 + 1e-12).astype(np.float32)
+    wd8 = W8Tensor(
+        c8=jax.device_put(jnp.asarray(
+            np.clip(np.round(wdf / wds[:, None]), -127, 127), jnp.int8)),
+        ws=jax.device_put(jnp.asarray(wds)), qtype="w8")
+    gs = [jax.device_put(jnp.asarray(rng.normal(0, 1, (ROWS, f)), jnp.bfloat16))
+          for _ in range(4)]
+
+    def path_xla_g(x):
+        return w8a8_matmul(gelu_quick(x), wd8, compute_dtype=jnp.bfloat16)
+
+    def path_gq(x):
+        codes, sx = gq_pallas(x)
+        return w8a8_pre(codes, sx, wd8)
+
+    ya = np.asarray(jax.jit(path_xla_g)(gs[0]), np.float32)
+    yb = np.asarray(jax.jit(path_gq)(gs[0]), np.float32)
+    rel = np.abs(ya - yb).max() / (np.abs(ya).max() or 1.0)
+    print(f"max rel diff gq vs xla_g: {rel:.2e}", flush=True)
+    assert rel < 5e-2, "fused gelu->q numerics diverge"
+
+    t_xg = slope_time("xla_g", jax.jit(path_xla_g), gs)
+    t_gq = slope_time("gq", jax.jit(path_gq), gs)
+    slope_time("gelu", jax.jit(gelu_quick), gs)
+    print(f"gq speedup vs xla pair: {t_xg / t_gq:.3f}x", flush=True)
 
 
 if __name__ == "__main__":
