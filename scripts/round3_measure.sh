@@ -33,4 +33,6 @@ run text     2400 python scripts/bench_text.py 256
 run h14      5400 python scripts/bench_h14.py 32
 run variants 5400 python scripts/bench_variants.py
 run serving  3600 python scripts/serve_loadtest.py
+run latency  2400 python scripts/bench_latency.py
+run lnq      2400 python scripts/proto_lnq_kernel.py
 echo "ALL DONE $(date +%H:%M:%S)" | tee -a .cache/round3/driver.log
