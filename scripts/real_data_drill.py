@@ -129,13 +129,16 @@ def prepare_dataset(workdir: str) -> str:
 
 
 def run_benchmark(model_path: str, dataset: str, out_path: str,
-                  templates: str | None = None) -> float:
+                  templates: str | None = None,
+                  act_quant: bool | None = None) -> float:
     """Reference-protocol benchmark; returns mean top-1 over classes."""
     from clip_tpu.cli import benchmark
 
     argv = ["-m", model_path, dataset, "-o", out_path]
     if templates:
         argv += ["--templates", templates]
+    if act_quant is False:
+        argv += ["--no-act-quant"]
     rc = benchmark.main(argv)
     if rc != 0:
         raise SystemExit(f"benchmark failed (rc={rc}) for {model_path}")
@@ -181,6 +184,11 @@ def main(argv=None) -> int:
     p.add_argument("--dataset", default=None,
                    help="existing class-keyed image directory (skips the "
                         "ImageNet download)")
+    p.add_argument("--no-act-quant", dest="act_quant", action="store_false",
+                   default=None,
+                   help="gate the pure dequant path instead of the engine's "
+                        "TPU-default W8A8 (int8 activation) compute — the "
+                        "default gates what production actually serves")
     args = p.parse_args(argv)
     os.makedirs(args.workdir, exist_ok=True)
 
@@ -209,9 +217,9 @@ def main(argv=None) -> int:
 
     print("[5/5] running the reference-protocol benchmark on both ...", flush=True)
     top1_q = run_benchmark(qp, dataset, os.path.join(args.workdir, "bench_q4_0.md"),
-                           templates=args.templates)
+                           templates=args.templates, act_quant=args.act_quant)
     top1_r = run_benchmark(rp, dataset, os.path.join(args.workdir, "bench_ref.md"),
-                           templates=args.templates)
+                           templates=args.templates, act_quant=args.act_quant)
 
     verdict = gate_verdict(top1_q, top1_r)
     print(json.dumps(verdict))
