@@ -113,6 +113,7 @@ class ClipEngine:
         attn_impl: str = "auto",
         unroll: bool = False,
         act_quant: bool | None = None,
+        lnq_fuse: bool | None = None,
         verbosity: int = 1,
     ):
         enable_compile_cache()
@@ -154,6 +155,15 @@ class ClipEngine:
         self.act_quant = bool(act_quant)
         if self.act_quant:
             params = _convert_layers_to_w8(params, include_dense=explicit)
+
+        # Fused Pallas LN/gelu->int8-quant feeding the int8 GEMMs
+        # (ops.actquant_pallas): the producer pass emits codes + scales
+        # directly, so w8a8's separate amax pass and the bf16 round-trip of
+        # each GEMM input disappear.  Auto: off pending the in-model A/B
+        # (scripts/bench_w8a8_model.py --lnq); requires act_quant.
+        if lnq_fuse is None:
+            lnq_fuse = False
+        self.lnq_fuse = bool(lnq_fuse) and self.act_quant
 
         self.mesh = mesh
         if mesh is None and use_mesh and len(jax.devices()) > 1:
@@ -197,8 +207,9 @@ class ClipEngine:
             else:
                 # pjit cannot partition Pallas custom calls: any 'auto' route
                 # into the fused qmatmul would crash (or silently gather) on
-                # real multi-chip hardware
+                # real multi-chip hardware; same for the fused LN->quant
                 self._qmm_backend = "xla"
+                self.lnq_fuse = False
             params = pmesh.shard_params(params, self.mesh)
         else:
             params = jax.device_put(params)
@@ -355,6 +366,7 @@ class ClipEngine:
                     unroll=self.unroll,
                     qmm_backend=self._qmm_backend,
                     tp_axis=self._tp_axis,
+                    lnq_fuse=self.lnq_fuse,
                 )
 
             self._jit_cache[key] = self._wrap(
@@ -375,6 +387,7 @@ class ClipEngine:
                     unroll=self.unroll,
                     qmm_backend=self._qmm_backend,
                     tp_axis=self._tp_axis,
+                    lnq_fuse=self.lnq_fuse,
                 )
 
             self._jit_cache[key] = self._wrap(fn, "vision", self._batch_spec(4))
@@ -403,6 +416,7 @@ class ClipEngine:
                     unroll=self.unroll,
                     qmm_backend=self._qmm_backend,
                     tp_axis=self._tp_axis,
+                    lnq_fuse=self.lnq_fuse,
                 )
 
             self._jit_cache[key] = self._wrap(fn, "vision", self._batch_spec(4))

@@ -36,6 +36,7 @@ def encode_text(
     unroll: bool = False,
     qmm_backend: str | None = None,
     tp_axis: str | None = None,
+    lnq_fuse: bool = False,
 ) -> jnp.ndarray:
     b, s = token_ids.shape
 
@@ -69,6 +70,7 @@ def encode_text(
         unroll=unroll,
         qmm_backend=qmm_backend,
         tp_axis=tp_axis,
+        lnq_fuse=lnq_fuse,
     )
 
     x = layernorm(x, params["post_ln_w"], params["post_ln_b"], cfg.eps)

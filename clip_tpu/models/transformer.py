@@ -19,9 +19,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..ops.actquant_pallas import actq_pallas, fusable_width, lnq_pallas, w8a8_pre
 from ..ops.attention_pallas import flat_eligible, mha_pallas_qkv
 from ..ops.linear import linear
 from ..ops.nn import gelu_quick, gelu_tanh, layernorm, softmax
+from ..ops.qtensor import W8Tensor
 
 NEG_INF = -1e9  # large finite value: keeps bf16/f32 softmax NaN-free
 VALID_ATTN_IMPLS = ("auto", "pallas", "xla")
@@ -50,13 +52,19 @@ def attention(
     x, lp, *, n_head: int, causal: bool = False,
     compute_dtype=jnp.float32, attn_impl: str = "auto",
     qmm_backend: str | None = None, tp_axis: str | None = None,
-    valid_len: int | None = None,
+    valid_len: int | None = None, ln=None, lnq_fuse: bool = False,
 ):
     """Multi-head self-attention over ``x [B, S, H]``.
 
     Q/K/V use one fused [3H, H] projection (see models.params): a single wide
     GEMM instead of three narrow ones — the narrow-N case leaves most of the
     128x128 MXU idle.
+
+    ``ln=(w, b, eps)`` means ``x`` is the RAW residual stream and this
+    function applies the pre-LN itself — which lets the fused Pallas
+    LN->int8-quant kernel (``ops.actquant_pallas``) feed the W8A8 qkv
+    projection directly when ``lnq_fuse`` is on, skipping the separate
+    amax pass and the bf16 round-trip of the normalized activation.
 
     Under tensor parallelism (``tp_axis`` set, inside ``jax.shard_map``) the
     fused projection holds this shard's heads in local [q; k; v] layout (see
@@ -70,12 +78,27 @@ def attention(
     scale = 1.0 / (d_head ** 0.5)
 
     impl = resolve_attn_impl(attn_impl)
+    fused_lnq = (
+        ln is not None and lnq_fuse
+        and isinstance(lp["qkv_w"], W8Tensor) and fusable_width(h)
+    )
+    if ln is not None and not fused_lnq:
+        x = layernorm(x, ln[0], ln[1], ln[2])
     # eligibility must be judged at the width the kernel actually sees: under
     # tensor parallelism (inside shard_map) lp holds this shard's [3H/n, H]
     # projection, and mha_pallas_qkv decides its path from that local width —
     # using the global 3*h here could silently desync the two
     qkv_width = lp["qkv_w"].shape[0]
-    if impl == "pallas" and flat_eligible(b, s, qkv_width):
+    if fused_lnq:
+        # one VMEM pass: LN + per-row amax + int8 quantize, straight into the
+        # int8 MXU dot (w8a8_matmul's shape logic already runs every GEMM as
+        # a 2-D dot, so this changes only operand production, not layout)
+        codes, sx = lnq_pallas(
+            x.reshape(b * s, h), ln[0], ln[1], eps=float(ln[2]),
+            interpret=jax.default_backend() != "tpu")
+        qkv = w8a8_pre(codes, sx, lp["qkv_w"], compute_dtype)
+        qkv = (qkv + lp["qkv_b"].astype(qkv.dtype)).reshape(b, s, -1)
+    elif impl == "pallas" and flat_eligible(b, s, qkv_width):
         # 2-D GEMM for the projection feeding the FLAT kernel: a rank-3 dot
         # gets XLA's conv emitter whose {2,0,1} output layout forces a full
         # relayout copy (~0.4 ms/layer at B/32 B=448) before the custom
@@ -125,27 +148,55 @@ def attention(
 
 def block(x, lp, *, n_head, eps, use_gelu, causal=False,
           compute_dtype=jnp.float32, attn_impl="auto",
-          qmm_backend=None, tp_axis=None, valid_len=None):
-    h = layernorm(x, lp["ln1_w"], lp["ln1_b"], eps)
-    x = x + attention(h, lp, n_head=n_head, causal=causal,
+          qmm_backend=None, tp_axis=None, valid_len=None,
+          lnq_fuse=False):
+    x = x + attention(x, lp, n_head=n_head, causal=causal,
                       compute_dtype=compute_dtype, attn_impl=attn_impl,
                       qmm_backend=qmm_backend, tp_axis=tp_axis,
-                      valid_len=valid_len)
-    h = layernorm(x, lp["ln2_w"], lp["ln2_b"], eps)
-    h = linear(h, lp["up_w"], lp["up_b"], compute_dtype=compute_dtype,
-               backend=qmm_backend)
-    h = gelu_tanh(h) if use_gelu else gelu_quick(h)
+                      valid_len=valid_len,
+                      ln=(lp["ln1_w"], lp["ln1_b"], eps), lnq_fuse=lnq_fuse)
+
+    fuse_mlp = (
+        lnq_fuse
+        and isinstance(lp["up_w"], W8Tensor)
+        and isinstance(lp["down_w"], W8Tensor)
+        and fusable_width(x.shape[-1])
+        and fusable_width(lp["up_w"].shape[0])
+    )
+    if fuse_mlp:
+        # LN2 + quant in one pass -> int8 up-GEMM -> gelu + quant in one pass
+        # (the [rows, 4H] down-proj input is the model's largest activation:
+        # int8 halves its write bytes) -> int8 down-GEMM
+        bb, ss, hh = x.shape
+        interp = jax.default_backend() != "tpu"
+        codes, sx = lnq_pallas(
+            x.reshape(bb * ss, hh), lp["ln2_w"], lp["ln2_b"],
+            eps=float(eps), interpret=interp)
+        h = w8a8_pre(codes, sx, lp["up_w"], compute_dtype)
+        h = h + lp["up_b"].astype(h.dtype)
+        codes, sx = actq_pallas(
+            h, act="gelu_tanh" if use_gelu else "gelu_quick",
+            interpret=interp)
+        h = w8a8_pre(codes, sx, lp["down_w"], compute_dtype)
+        h = h.reshape(bb, ss, -1)
+    else:
+        h = layernorm(x, lp["ln2_w"], lp["ln2_b"], eps)
+        h = linear(h, lp["up_w"], lp["up_b"], compute_dtype=compute_dtype,
+                   backend=qmm_backend)
+        h = gelu_tanh(h) if use_gelu else gelu_quick(h)
+        h = linear(h, lp["down_w"], None, compute_dtype=compute_dtype,
+                   backend=qmm_backend)
     # row-parallel down-projection: partial sums reduced before the bias
-    h = linear(h, lp["down_w"], None if tp_axis else lp["down_b"],
-               compute_dtype=compute_dtype, backend=qmm_backend)
     if tp_axis is not None:
-        h = jax.lax.psum(h, tp_axis) + lp["down_b"].astype(h.dtype)
+        h = jax.lax.psum(h, tp_axis)
+    h = h + lp["down_b"].astype(h.dtype)
     return x + h
 
 
 def run_blocks(x, layers, *, n_head, eps, use_gelu, causal=False,
                compute_dtype=jnp.float32, attn_impl="auto", unroll=False,
-               qmm_backend=None, tp_axis=None, valid_len=None):
+               qmm_backend=None, tp_axis=None, valid_len=None,
+               lnq_fuse=False):
     """Run the transformer stack; ``layers`` leaves carry a leading L axis.
 
     ``unroll=True`` emits a Python loop instead of ``lax.scan``: each layer's
@@ -157,6 +208,7 @@ def run_blocks(x, layers, *, n_head, eps, use_gelu, causal=False,
         block, n_head=n_head, eps=eps, use_gelu=use_gelu, causal=causal,
         compute_dtype=compute_dtype, attn_impl=attn_impl,
         qmm_backend=qmm_backend, tp_axis=tp_axis, valid_len=valid_len,
+        lnq_fuse=lnq_fuse,
     )
 
     if unroll:

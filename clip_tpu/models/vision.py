@@ -54,6 +54,7 @@ def encode_image(
     unroll: bool = False,
     qmm_backend: str | None = None,
     tp_axis: str | None = None,
+    lnq_fuse: bool = False,
 ) -> jnp.ndarray:
     b = pixels.shape[0]
     p = cfg.patch_size
@@ -111,6 +112,7 @@ def encode_image(
         qmm_backend=qmm_backend,
         tp_axis=tp_axis,
         valid_len=valid_len,
+        lnq_fuse=lnq_fuse,
     )
 
     pooled = x[:, 0, :]  # CLS (clip.cpp:1426-1430)

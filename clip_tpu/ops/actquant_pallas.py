@@ -1,0 +1,165 @@
+"""Fused activation->int8-quantize Pallas kernels for the W8A8 path.
+
+``ops.linear.w8a8_matmul`` quantizes each GEMM's activation per-row at the
+XLA level: |x| -> row amax (a separate bandwidth-bound reduce pass over the
+bf16 activation) -> scale/round/clip fused into the GEMM operand read.  But
+every transformer GEMM input is *produced* by layernorm or gelu — bandwidth-
+bound ops that already stream the full activation through the VPU.  These
+kernels fuse producer + amax + quantize into ONE VMEM pass that emits int8
+codes (half the write bytes of bf16) and per-row f32 scales; the consuming
+dot (:func:`w8a8_pre`) takes pre-quantized codes, so the separate amax pass
+and the bf16 round-trip disappear.
+
+This is the TPU analogue of ggml's quantize-then-dot activation pipeline
+(``ggml_compute_forward_mul_mat`` quantizes the src1 activation to q8 rows
+before its ``ggml_vec_dot_q4_0_q8_0`` inner loops — SURVEY §2.1); here the
+quantize rides the producer's existing VMEM residency instead of being its
+own pass.
+
+Used by ``models.transformer`` when ``lnq_fuse`` is on (weights already
+converted to :class:`~clip_tpu.ops.qtensor.W8Tensor`); numerics match the
+unfused ``layernorm/gelu + w8a8_matmul`` pair to reduction-order rounding
+(same f32 math, same amax scaling — tests/test_actquant_fusion.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .qtensor import W8Tensor
+
+__all__ = ["lnq_pallas", "actq_pallas", "w8a8_pre", "fusable_width"]
+
+_SQRT_2_OVER_PI = 0.7978845608028654
+# VMEM row-block budgets (elements): LN kernel raced at 1600 rows x H=768,
+# the gelu kernel at 800 x 4H=3072 (scripts/proto_lnq_kernel.py).
+_LN_BUDGET = 1_228_800
+_ACT_BUDGET = 2_457_600
+
+
+def fusable_width(h: int) -> bool:
+    """Lane-dim constraint: the kernels stream [rows, h] blocks whose last
+    axis must tile the 128-wide vector registers."""
+    return h % 128 == 0
+
+
+def _block_rows(rows: int, h: int, budget: int) -> int:
+    br = max(8, (budget // h) // 8 * 8)
+    rp = -(-rows // 8) * 8
+    return min(br, rp)
+
+
+def _quantize_rows(y):
+    """Per-row symmetric int8: amax/127 scale (identical math to
+    ops.linear.w8a8_matmul so fused and unfused paths agree)."""
+    amax = jnp.max(jnp.abs(y), axis=1, keepdims=True)
+    sx = amax / 127.0 + 1e-12
+    codes = jnp.clip(jnp.round(y / sx), -127, 127).astype(jnp.int8)
+    return codes, sx
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "block_rows", "interpret"))
+def lnq_pallas(x, w, b, *, eps: float, block_rows: int | None = None,
+               interpret: bool = False):
+    """Layernorm + per-row dynamic int8 quant in one VMEM pass.
+
+    ``x [rows, H]`` -> (codes int8 [rows, H], scales f32 [rows, 1]).
+    LN math matches ``ops.nn.layernorm`` (one-pass f32 moments, clamped
+    variance); quant math matches ``w8a8_matmul``.
+    """
+    rows, h = x.shape
+    br = block_rows or _block_rows(rows, h, _LN_BUDGET)
+    rp = -(-rows // br) * br
+    xp = jnp.pad(x, ((0, rp - rows), (0, 0)))
+    w2 = w.reshape(1, h)
+    b2 = b.reshape(1, h)
+
+    def kernel(x_ref, w_ref, b_ref, o_ref, s_ref):
+        xv = x_ref[:].astype(jnp.float32)
+        mu = jnp.mean(xv, axis=1, keepdims=True)
+        ms = jnp.mean(xv * xv, axis=1, keepdims=True)
+        var = jnp.maximum(ms - mu * mu, 0.0)
+        y = (xv - mu) * jax.lax.rsqrt(var + eps)
+        y = y * w_ref[0, :].astype(jnp.float32) + b_ref[0, :].astype(jnp.float32)
+        codes, sx = _quantize_rows(y)
+        o_ref[:] = codes
+        s_ref[:] = sx
+
+    codes, scales = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((rp, h), jnp.int8),
+                   jax.ShapeDtypeStruct((rp, 1), jnp.float32)),
+        grid=(rp // br,),
+        in_specs=[
+            pl.BlockSpec((br, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((br, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(xp, w2, b2)
+    return codes[:rows], scales[:rows]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("act", "block_rows", "interpret"))
+def actq_pallas(x, *, act: str = "gelu_quick", block_rows: int | None = None,
+                interpret: bool = False):
+    """Elementwise activation + per-row dynamic int8 quant in one VMEM pass.
+
+    ``act``: 'gelu_quick' (x*sigmoid(1.702x), ggml_gelu_quick), 'gelu_tanh'
+    (ggml_gelu) or 'none'.  The down-projection input is the model's largest
+    activation ([rows, 4H]), so int8 staging pays most there: half the write
+    bytes and no separate amax pass.
+    """
+    if act not in ("gelu_quick", "gelu_tanh", "none"):
+        raise ValueError(f"unknown act {act!r}")
+    rows, h = x.shape
+    br = block_rows or _block_rows(rows, h, _ACT_BUDGET)
+    rp = -(-rows // br) * br
+    xp = jnp.pad(x, ((0, rp - rows), (0, 0)))
+
+    def kernel(x_ref, o_ref, s_ref):
+        y = x_ref[:].astype(jnp.float32)
+        if act == "gelu_quick":
+            y = y * jax.lax.logistic(1.702 * y)
+        elif act == "gelu_tanh":
+            y = 0.5 * y * (1.0 + jnp.tanh(_SQRT_2_OVER_PI * (y + 0.044715 * y * y * y)))
+        codes, sx = _quantize_rows(y)
+        o_ref[:] = codes
+        s_ref[:] = sx
+
+    codes, scales = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((rp, h), jnp.int8),
+                   jax.ShapeDtypeStruct((rp, 1), jnp.float32)),
+        grid=(rp // br,),
+        in_specs=[pl.BlockSpec((br, h), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((br, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(xp)
+    return codes[:rows], scales[:rows]
+
+
+def w8a8_pre(codes, sx, w: W8Tensor, compute_dtype=jnp.bfloat16):
+    """The int8 dot + f32 rescale half of ``w8a8_matmul`` over PRE-quantized
+    codes: ``codes [M, K] int8 @ w.c8 [N, K].T -> [M, N]`` rescaled by
+    ``sx * w.ws``.  Accumulation int32 (|K*127*127| < 2^31 at CLIP widths)."""
+    acc = jax.lax.dot_general(
+        codes, w.c8, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx * w.ws[None, :]
+    return y.astype(compute_dtype)

@@ -54,7 +54,7 @@ def main():
     rng = np.random.default_rng(0)
     s = cfg.text.num_positions  # full 77-token context: worst-case batch rows
     ids = jax.device_put(jnp.asarray(
-        rng.integers(1, cfg.text.vocab_size - 1, size=(BATCH, s)), jnp.int32))
+        rng.integers(1, cfg.text.n_vocab - 1, size=(BATCH, s)), jnp.int32))
     lengths = jax.device_put(jnp.full((BATCH,), s, jnp.int32))
 
     def run_one(name, params):

@@ -47,83 +47,15 @@ EPS = 1e-5
 ITERS = 30
 
 
-def _lnq_kernel(x_ref, w_ref, b_ref, o_ref, s_ref):
-    x = x_ref[:].astype(jnp.float32)                       # [rows, H]
-    mu = jnp.mean(x, axis=1, keepdims=True)
-    ms = jnp.mean(x * x, axis=1, keepdims=True)
-    var = jnp.maximum(ms - mu * mu, 0.0)
-    y = (x - mu) * jax.lax.rsqrt(var + EPS)
-    y = y * w_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
-    amax = jnp.max(jnp.abs(y), axis=1, keepdims=True)
-    sx = amax / 127.0 + 1e-12
-    o_ref[:] = jnp.clip(jnp.round(y / sx), -127, 127).astype(jnp.int8)
-    s_ref[:] = sx
+from clip_tpu.ops.actquant_pallas import actq_pallas, lnq_pallas, w8a8_pre
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
-def lnq_pallas(x, w, b, *, block_rows=1600, interpret=False):
-    """LN + per-row dynamic int8 quant in one VMEM pass.
-    Returns (codes int8 [rows, H], scales f32 [rows, 1])."""
-    rows, h = x.shape
-    rp = -(-rows // block_rows) * block_rows
-    xp = jnp.pad(x, ((0, rp - rows), (0, 0)))
-    codes, scales = pl.pallas_call(
-        _lnq_kernel,
-        out_shape=(jax.ShapeDtypeStruct((rp, h), jnp.int8),
-                   jax.ShapeDtypeStruct((rp, 1), jnp.float32)),
-        grid=(rp // block_rows,),
-        in_specs=[
-            pl.BlockSpec((block_rows, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((h,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((h,), lambda i: (0,), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((block_rows, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ),
-        interpret=interpret,
-    )(xp, w, b)
-    return codes[:rows], scales[:rows]
+def lnq_prod(x, w, b):
+    return lnq_pallas(x, w, b, eps=EPS)
 
 
-def w8a8_pre(codes, sx, w8: W8Tensor, compute_dtype=jnp.bfloat16):
-    """The int8 dot + rescale half of w8a8_matmul, over pre-quantized codes."""
-    acc = jax.lax.dot_general(
-        codes, w8.c8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
-    return (acc.astype(jnp.float32) * sx * w8.ws[None, :]).astype(compute_dtype)
-
-
-def _gq_kernel(x_ref, o_ref, s_ref):
-    x = x_ref[:].astype(jnp.float32)
-    y = x * jax.lax.logistic(1.702 * x)                    # gelu_quick
-    amax = jnp.max(jnp.abs(y), axis=1, keepdims=True)
-    sx = amax / 127.0 + 1e-12
-    o_ref[:] = jnp.clip(jnp.round(y / sx), -127, 127).astype(jnp.int8)
-    s_ref[:] = sx
-
-
-@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
-def gq_pallas(x, *, block_rows=800, interpret=False):
-    """gelu_quick + per-row dynamic int8 quant in one VMEM pass — the
-    down-proj input is the model's largest activation ([rows, 4H]): int8
-    halves its write bytes and the separate amax pass disappears."""
-    rows, h = x.shape
-    rp = -(-rows // block_rows) * block_rows
-    xp = jnp.pad(x, ((0, rp - rows), (0, 0)))
-    codes, scales = pl.pallas_call(
-        _gq_kernel,
-        out_shape=(jax.ShapeDtypeStruct((rp, h), jnp.int8),
-                   jax.ShapeDtypeStruct((rp, 1), jnp.float32)),
-        grid=(rp // block_rows,),
-        in_specs=[pl.BlockSpec((block_rows, h), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=(
-            pl.BlockSpec((block_rows, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ),
-        interpret=interpret,
-    )(xp)
-    return codes[:rows], scales[:rows]
+def gq_prod(x):
+    return actq_pallas(x, act="gelu_quick")
 
 
 def slope_time(name, fn, inputs):
@@ -162,7 +94,7 @@ def main():
         return w8a8_matmul(layernorm(x, lw, lb, EPS), w8, compute_dtype=jnp.bfloat16)
 
     def path_lnq(x):
-        codes, sx = lnq_pallas(x, lw, lb)
+        codes, sx = lnq_prod(x, lw, lb)
         return w8a8_pre(codes, sx, w8)
 
     # numerics first: same quantization math -> near-identical outputs
@@ -196,7 +128,7 @@ def main():
         return w8a8_matmul(gelu_quick(x), wd8, compute_dtype=jnp.bfloat16)
 
     def path_gq(x):
-        codes, sx = gq_pallas(x)
+        codes, sx = gq_prod(x)
         return w8a8_pre(codes, sx, wd8)
 
     ya = np.asarray(jax.jit(path_xla_g)(gs[0]), np.float32)

@@ -1,0 +1,176 @@
+"""Fused Pallas LN/gelu->int8-quant kernels (ops.actquant_pallas).
+
+The fused producers must agree with the unfused ``layernorm/gelu +
+w8a8_matmul`` pair exactly (same f32 math, same amax scaling) and must be
+gated off transparently wherever they don't apply (dense weights, widths
+that don't tile the 128-lane registers, lnq_fuse off).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clip_tpu.models import transformer
+from clip_tpu.ops.actquant_pallas import (
+    actq_pallas, fusable_width, lnq_pallas, w8a8_pre,
+)
+from clip_tpu.ops.linear import w8a8_matmul
+from clip_tpu.ops.nn import gelu_quick, gelu_tanh, layernorm
+from clip_tpu.ops.qtensor import W8Tensor, to_w8tensor
+
+INTERP = jax.default_backend() != "tpu"
+EPS = 1e-5
+
+
+def _quant_rows_ref(y):
+    amax = np.abs(y).max(axis=1, keepdims=True)
+    sx = amax / 127.0 + 1e-12
+    codes = np.clip(np.round(y / sx), -127, 127).astype(np.int8)
+    return codes, sx.astype(np.float32)
+
+
+def test_lnq_matches_unfused(rng):
+    rows, h = 100, 256  # rows deliberately not a block multiple
+    x = jnp.asarray(rng.normal(0, 1.5, (rows, h)), jnp.float32)
+    w = jnp.asarray(rng.normal(1, 0.1, h), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.1, h), jnp.float32)
+    codes, sx = lnq_pallas(x, w, b, eps=EPS, block_rows=32, interpret=INTERP)
+    assert codes.shape == (rows, h) and sx.shape == (rows, 1)
+    y_ref = np.asarray(layernorm(x, w, b, EPS), np.float32)
+    c_ref, s_ref = _quant_rows_ref(y_ref)
+    np.testing.assert_allclose(np.asarray(sx), s_ref, rtol=1e-6)
+    # rounding ties may flip a code by 1; all else identical
+    assert np.abs(np.asarray(codes, np.int32) - c_ref.astype(np.int32)).max() <= 1
+
+
+@pytest.mark.parametrize("act,ref_fn", [
+    ("gelu_quick", gelu_quick),
+    ("gelu_tanh", gelu_tanh),
+    ("none", lambda x: x),
+])
+def test_actq_matches_unfused(rng, act, ref_fn):
+    rows, h = 70, 384
+    x = jnp.asarray(rng.normal(0, 2.0, (rows, h)), jnp.float32)
+    codes, sx = actq_pallas(x, act=act, block_rows=16, interpret=INTERP)
+    y_ref = np.asarray(ref_fn(x), np.float32)
+    c_ref, s_ref = _quant_rows_ref(y_ref)
+    np.testing.assert_allclose(np.asarray(sx), s_ref, rtol=1e-6)
+    assert np.abs(np.asarray(codes, np.int32) - c_ref.astype(np.int32)).max() <= 1
+
+
+def test_w8a8_pre_equals_w8a8_matmul(rng):
+    """Pre-quantized codes through w8a8_pre == w8a8_matmul end to end."""
+    m, k, n = 48, 256, 128
+    x = jnp.asarray(rng.normal(0, 1, (m, k)), jnp.float32)
+    w8 = to_w8tensor(jnp.asarray(rng.normal(0, 0.05, (n, k)), jnp.float32))
+    codes, sx = actq_pallas(x, act="none", block_rows=16, interpret=INTERP)
+    out = w8a8_pre(codes, sx, w8, compute_dtype=jnp.float32)
+    ref = w8a8_matmul(x, w8, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def _layer_params(rng, h, f):
+    def mk(shape, s=0.05):
+        return jnp.asarray(rng.normal(0, s, shape), jnp.float32)
+    return dict(
+        ln1_w=mk(h) + 1, ln1_b=mk(h), ln2_w=mk(h) + 1, ln2_b=mk(h),
+        qkv_w=mk((3 * h, h)), qkv_b=mk(3 * h),
+        o_w=mk((h, h)), o_b=mk(h),
+        up_w=mk((f, h)), up_b=mk(f),
+        down_w=mk((h, f)), down_b=mk(h),
+    )
+
+
+@pytest.mark.parametrize("use_gelu", [False, True])
+def test_block_fused_matches_unfused(rng, use_gelu):
+    """Full transformer block: lnq_fuse must not change W8A8 numerics
+    beyond rounding ties (bit-identical on the CPU interpret path)."""
+    h, f = 256, 1024
+    lp = _layer_params(rng, h, f)
+    for k in ("qkv_w", "o_w", "up_w", "down_w"):
+        lp[k] = to_w8tensor(lp[k])
+    x = jnp.asarray(rng.normal(0, 1, (2, 10, h)), jnp.float32)
+    kw = dict(n_head=4, eps=EPS, use_gelu=use_gelu,
+              compute_dtype=jnp.float32, attn_impl="xla")
+    ref = transformer.block(x, lp, lnq_fuse=False, **kw)
+    out = transformer.block(x, lp, lnq_fuse=True, **kw)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_block_fused_gates_off_dense_and_narrow(rng):
+    """Dense weights, or widths that don't tile the 128-lane registers,
+    must take the identical unfused path (bit-exact)."""
+    # dense weights: W8Tensor check gates fusion off
+    h, f = 256, 1024
+    lp = _layer_params(rng, h, f)
+    x = jnp.asarray(rng.normal(0, 1, (2, 8, h)), jnp.float32)
+    kw = dict(n_head=4, eps=EPS, use_gelu=False,
+              compute_dtype=jnp.float32, attn_impl="xla")
+    a = transformer.block(x, lp, lnq_fuse=True, **kw)
+    b = transformer.block(x, lp, lnq_fuse=False, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # narrow width (H=64): fusable_width gates off even with W8 weights
+    assert not fusable_width(64)
+    h, f = 64, 256
+    lp = _layer_params(rng, h, f)
+    for k in ("qkv_w", "o_w", "up_w", "down_w"):
+        lp[k] = to_w8tensor(lp[k])
+    x = jnp.asarray(rng.normal(0, 1, (2, 8, h)), jnp.float32)
+    kw["n_head"] = 2
+    a = transformer.block(x, lp, lnq_fuse=True, **kw)
+    b = transformer.block(x, lp, lnq_fuse=False, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_engine_lnq_fuse(tmp_path, rng):
+    """Engine-level: a 128-wide model (fusion engages) must produce
+    embeddings in lockstep with the unfused W8A8 path; the tiny 64-wide
+    fixture must fall back transparently."""
+    import torch
+    from transformers import CLIPConfig, CLIPModel, CLIPTextConfig, CLIPVisionConfig
+
+    from clip_tpu.convert import convert_hf_clip
+    from clip_tpu.engine import ClipEngine
+    from clip_tpu.quantize import quantize_model
+    from hf_fixtures import tiny_vocab_tokens
+
+    text_cfg = CLIPTextConfig(
+        vocab_size=99, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=16, layer_norm_eps=1e-5,
+        hidden_act="quick_gelu", eos_token_id=98, bos_token_id=97)
+    vision_cfg = CLIPVisionConfig(
+        hidden_size=128, intermediate_size=256, num_hidden_layers=2,
+        num_attention_heads=4, image_size=28, patch_size=14,
+        layer_norm_eps=1e-5, hidden_act="quick_gelu")
+    cfg = CLIPConfig.from_text_vision_configs(
+        text_cfg, vision_cfg, projection_dim=32)
+    torch.manual_seed(0)
+    model = CLIPModel(cfg).eval()
+    src = str(tmp_path / "w128.gguf")
+    convert_hf_clip(model, tiny_vocab_tokens(), src, use_f32=True, name="w128")
+    qp = str(tmp_path / "w128.q4_0.gguf")
+    quantize_model(src, qp, "q4_0", verbose=False)
+
+    base = ClipEngine(qp, verbosity=0, act_quant=True, lnq_fuse=False)
+    fused = ClipEngine(qp, verbosity=0, act_quant=True, lnq_fuse=True)
+    assert fused.lnq_fuse and not base.lnq_fuse
+    assert isinstance(fused.params["text"]["layers"]["qkv_w"], W8Tensor)
+
+    texts = ["tok1 tok2", "tok2 tok3 tok4"]
+    img = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+    t0 = base.encode_text(texts, normalize=True)
+    t1 = fused.encode_text(texts, normalize=True)
+    i0 = base.encode_image(img, normalize=True)
+    i1 = fused.encode_image(img, normalize=True)
+    assert (t0 * t1).sum(1).min() > 0.9999, (t0 * t1).sum(1)
+    assert float(i0 @ i1) > 0.9999
+    base.close(); fused.close()
+
+    # lnq_fuse without act_quant is inert
+    plain = ClipEngine(qp, verbosity=0, act_quant=False, lnq_fuse=True)
+    assert not plain.lnq_fuse
+    plain.close()
