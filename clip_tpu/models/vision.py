@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..ops.attention_pallas import flat_eligible
 from ..ops.nn import l2_normalize, layernorm
 from ..ops.linear import qmatmul
-from ..ops.qtensor import QTensor, dequant, take_rows
+from ..ops.qtensor import QTensor, W8Tensor, dequant, take_rows
 from .config import VisionConfig
 from .transformer import run_blocks
 
@@ -89,11 +89,17 @@ def encode_image(
     d_head = cfg.hidden_size // cfg.n_head
     # d_head gate (measured): 64-wide head lane-slices run well in the flat
     # kernel (B/16 +13%, L/14 +9%); 80-wide (ViT-H/14) straddles the 128
-    # lane registers and LOSES 10% — H/14 keeps the padded path.  Padding
-    # S=577 merely to align the padded kernel also measured slightly worse;
-    # pad-once applies only when it unlocks the flat path.
+    # lane registers and LOSES 10% on the bf16 DEQUANT path — there H/14
+    # keeps the padded kernel.  Under W8A8 the gate flips: every GEMM is
+    # already a 2-D int8 dot (no conv-emitter layout to lose), and the flat
+    # kernel beats the padded one 561 vs 522 img/s at H/14 B=32
+    # (scripts/bench_h14.py round 3) — so W8Tensor weights take the flat
+    # pad-once path regardless of d_head.  Padding S=577 merely to align
+    # the padded kernel also measured slightly worse; pad-once applies only
+    # when it unlocks the flat path.
     h3 = 3 * cfg.hidden_size
-    if not flat_eligible(b, s_real, h3) and d_head % 64 == 0:
+    is_w8 = isinstance(params["layers"]["qkv_w"], W8Tensor)
+    if not flat_eligible(b, s_real, h3) and (d_head % 64 == 0 or is_w8):
         sp = -(-s_real // 8) * 8
         if sp != s_real and flat_eligible(b, sp, h3):
             x = jnp.pad(x, ((0, 0), (0, sp - s_real), (0, 0)))

@@ -174,3 +174,49 @@ def test_engine_lnq_fuse(tmp_path, rng):
     plain = ClipEngine(qp, verbosity=0, act_quant=False, lnq_fuse=True)
     assert not plain.lnq_fuse
     plain.close()
+
+
+def test_vision_w8_flat_gate_d_head_not_64(rng):
+    """W8Tensor weights unlock the pad-once flat path even when d_head is
+    not a 64-multiple (the round-3 H/14 win): per-image outputs must match
+    a batch shape that takes the flat kernel without padding."""
+    import functools
+
+    from clip_tpu.models.config import VisionConfig
+    from clip_tpu.models.vision import encode_image
+    from clip_tpu.ops.attention_pallas import flat_eligible
+
+    h, f, p, img = 96, 384, 17, 68  # S = (68/17)^2 + 1 = 17, d_head = 48
+    cfg = VisionConfig(
+        image_size=img, patch_size=p, hidden_size=h, n_intermediate=f,
+        projection_dim=32, n_head=2, n_layer=2, eps=1e-5)
+    s = (img // p) ** 2 + 1
+    assert not flat_eligible(2, s, 3 * h)   # b=2: gate must fire
+    assert flat_eligible(8, s, 3 * h)       # b=8: flat without padding
+
+    def mk(shape, sd=0.05):
+        return jnp.asarray(rng.normal(0, sd, shape), jnp.float32)
+    L = 2
+    layers = dict(
+        ln1_w=mk((L, h)) + 1, ln1_b=mk((L, h)),
+        ln2_w=mk((L, h)) + 1, ln2_b=mk((L, h)),
+        qkv_b=mk((L, 3 * h)), o_b=mk((L, h)),
+        up_b=mk((L, f)), down_b=mk((L, h)),
+    )
+    for name, shape in (("qkv_w", (L, 3 * h, h)), ("o_w", (L, h, h)),
+                        ("up_w", (L, f, h)), ("down_w", (L, h, f))):
+        layers[name] = to_w8tensor(np.asarray(mk(shape)))
+    params = dict(
+        patch_embd=mk((h, 3, p, p)), class_embd=mk(h),
+        pos_embd=mk((s, h)), pre_ln_w=mk(h) + 1, pre_ln_b=mk(h),
+        post_ln_w=mk(h) + 1, post_ln_b=mk(h), proj=mk((32, h)),
+        layers=layers,
+    )
+    enc = functools.partial(
+        encode_image, params, cfg, use_gelu=False, normalize=True,
+        compute_dtype=jnp.float32, attn_impl="pallas")
+    px = jnp.asarray(rng.normal(0, 1, (8, img, img, 3)), jnp.float32)
+    out2 = enc(pixels=px[:2])   # padded-once flat path (new W8 gate)
+    out8 = enc(pixels=px)       # flat path, no padding
+    np.testing.assert_allclose(
+        np.asarray(out2), np.asarray(out8[:2]), rtol=1e-4, atol=1e-5)
