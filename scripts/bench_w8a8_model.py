@@ -3,6 +3,8 @@
 Times the full q4_0 ViT-B/32 vision encode (bench.py protocol shapes) with:
   q4_bf16   current path (dequant folded into bf16 GEMMs)
   q4_w8a8   per-channel int8 weights + per-row int8 activations (int8 MXU)
+  w8+lnq    W8A8 + fused Pallas LN/gelu->int8-quant producers
+            (ops.actquant_pallas; the round-3 lnq_fuse knob)
   dense     dense bf16 weights (the round-2 'quantized should beat this' bar)
 
 Run: python scripts/bench_w8a8_model.py [batch] [variant]
@@ -55,11 +57,11 @@ def main():
     pixels = jax.device_put(jnp.asarray(
         rng.standard_normal((BATCH, size, size, 3)), jnp.bfloat16))
 
-    def run_one(name, params):
+    def run_one(name, params, **kw):
         params = jax.device_put(params["vision"])
         fn = jax.jit(functools.partial(
             encode_image, cfg=cfg.vision, use_gelu=cfg.use_gelu,
-            normalize=True, compute_dtype=jnp.bfloat16))
+            normalize=True, compute_dtype=jnp.bfloat16, **kw))
         out = fn(params, pixels=pixels)
         float(jnp.sum(out))
         ts = []
@@ -77,6 +79,7 @@ def main():
 
     run_one("q4_bf16", pq)
     run_one("q4_w8a8", pw8)
+    run_one("w8+lnq", pw8, lnq_fuse=True)
     run_one("dense", pdense)
     run_one("q4_w8a8b", pw8)  # drift check
 
