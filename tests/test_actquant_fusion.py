@@ -125,15 +125,13 @@ def test_block_fused_gates_off_dense_and_narrow(rng):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_engine_lnq_fuse(tmp_path, rng):
-    """Engine-level: a 128-wide model (fusion engages) must produce
-    embeddings in lockstep with the unfused W8A8 path; the tiny 64-wide
-    fixture must fall back transparently."""
+def _w128_q4_gguf(tmp_path):
+    """A 128-wide q4_0 checkpoint — the smallest width the fusion gate
+    (128-lane tiling) accepts."""
     import torch
     from transformers import CLIPConfig, CLIPModel, CLIPTextConfig, CLIPVisionConfig
 
     from clip_tpu.convert import convert_hf_clip
-    from clip_tpu.engine import ClipEngine
     from clip_tpu.quantize import quantize_model
     from hf_fixtures import tiny_vocab_tokens
 
@@ -154,7 +152,16 @@ def test_engine_lnq_fuse(tmp_path, rng):
     convert_hf_clip(model, tiny_vocab_tokens(), src, use_f32=True, name="w128")
     qp = str(tmp_path / "w128.q4_0.gguf")
     quantize_model(src, qp, "q4_0", verbose=False)
+    return qp
 
+
+def test_engine_lnq_fuse(tmp_path, rng):
+    """Engine-level: a 128-wide model (fusion engages) must produce
+    embeddings in lockstep with the unfused W8A8 path; the tiny 64-wide
+    fixture must fall back transparently."""
+    from clip_tpu.engine import ClipEngine
+
+    qp = _w128_q4_gguf(tmp_path)
     base = ClipEngine(qp, verbosity=0, act_quant=True, lnq_fuse=False)
     fused = ClipEngine(qp, verbosity=0, act_quant=True, lnq_fuse=True)
     assert fused.lnq_fuse and not base.lnq_fuse
@@ -220,3 +227,34 @@ def test_vision_w8_flat_gate_d_head_not_64(rng):
     out8 = enc(pixels=px)       # flat path, no padding
     np.testing.assert_allclose(
         np.asarray(out2), np.asarray(out8[:2]), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("n_data,n_model", [(4, 2), (2, 4)])
+def test_lnq_fuse_shard_map_tp(tmp_path, rng, n_data, n_model):
+    """Fused LN/gelu->quant under shard_map tensor parallelism: the lnq
+    kernel sees replicated activations (global amax — same codes as
+    single-device); the gelu kernel quantizes each shard's LOCAL up-output
+    with its own amax, matching w8a8's TP semantics.  Embeddings must agree
+    with the single-device fused path at quantization tolerance."""
+    if len(jax.devices()) < n_data * n_model:
+        pytest.skip("needs 8 devices")
+    from clip_tpu.engine import ClipEngine
+    from clip_tpu.parallel import make_mesh
+
+    qp = _w128_q4_gguf(tmp_path)
+    base = ClipEngine(qp, verbosity=0, act_quant=True, lnq_fuse=True)
+    eng = ClipEngine(qp, mesh=make_mesh(n_data, n_model), verbosity=0,
+                     act_quant=True, lnq_fuse=True)
+    assert eng._spmd and eng.lnq_fuse
+
+    pixels = rng.normal(size=(8, 28, 28, 3)).astype(np.float32)
+    out = eng.encode_image(pixels, normalize=True, preprocessed=True)
+    ref = base.encode_image(pixels, normalize=True, preprocessed=True)
+    cos = np.sum(out * ref, axis=-1)
+    assert cos.min() > 0.999, f"min cos {cos.min()}"
+
+    out_t = eng.encode_text(["tok1 tok2", "tok2", "tok3 tok4", "tok1"])
+    ref_t = base.encode_text(["tok1 tok2", "tok2", "tok3 tok4", "tok1"])
+    cos_t = np.sum(out_t * ref_t, axis=-1)
+    assert cos_t.min() > 0.999, f"min cos {cos_t.min()}"
+    base.close(); eng.close()
