@@ -36,10 +36,11 @@ from .qtensor import W8Tensor
 __all__ = ["lnq_pallas", "actq_pallas", "w8a8_pre", "fusable_width"]
 
 _SQRT_2_OVER_PI = 0.7978845608028654
-# VMEM row-block budgets (elements): LN kernel raced at 1600 rows x H=768,
-# the gelu kernel at 800 x 4H=3072 (scripts/proto_lnq_kernel.py).
-_LN_BUDGET = 1_228_800
-_ACT_BUDGET = 2_457_600
+# VMEM row-block budget (elements).  The kernel's resident set per block is
+# ~7 bytes/element (bf16 in + f32 compute copy + int8 out); 1.23M elements
+# keeps it ~8.5 MB, inside the 16 MB scoped-VMEM limit (2.46M at width 3072
+# measured 19.1M and was rejected by Mosaic's stack allocator).
+_ROW_BUDGET = 1_228_800
 
 
 def fusable_width(h: int) -> bool:
@@ -74,7 +75,7 @@ def lnq_pallas(x, w, b, *, eps: float, block_rows: int | None = None,
     variance); quant math matches ``w8a8_matmul``.
     """
     rows, h = x.shape
-    br = block_rows or _block_rows(rows, h, _LN_BUDGET)
+    br = block_rows or _block_rows(rows, h, _ROW_BUDGET)
     rp = -(-rows // br) * br
     xp = jnp.pad(x, ((0, rp - rows), (0, 0)))
     w2 = w.reshape(1, h)
@@ -124,7 +125,7 @@ def actq_pallas(x, *, act: str = "gelu_quick", block_rows: int | None = None,
     if act not in ("gelu_quick", "gelu_tanh", "none"):
         raise ValueError(f"unknown act {act!r}")
     rows, h = x.shape
-    br = block_rows or _block_rows(rows, h, _ACT_BUDGET)
+    br = block_rows or _block_rows(rows, h, _ROW_BUDGET)
     rp = -(-rows // br) * br
     xp = jnp.pad(x, ((0, rp - rows), (0, 0)))
 

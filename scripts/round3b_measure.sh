@@ -18,8 +18,10 @@ run() {
   echo "=== $name exit=$? $(date +%H:%M:%S)" | tee -a .cache/round3/driver_b.log
 }
 
+run w8rows   3600 python scripts/bench_w8_rows.py
 run text     2400 python scripts/bench_text.py 256
 run lnqmodel 3600 python scripts/bench_w8a8_model.py 448
 run h14b     5400 python scripts/bench_h14.py 32
 run q5rows   2400 python scripts/bench_q5_rows.py
+run lnqproto 2400 python scripts/proto_lnq_kernel.py
 echo "ALL DONE (b) $(date +%H:%M:%S)" | tee -a .cache/round3/driver_b.log
