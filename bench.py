@@ -95,6 +95,9 @@ def main() -> None:
             compute_dtype=jnp.bfloat16,
             # scan (not unroll): with W8A8 scan is FASTER (31.1 vs 32.6 ms at
             # B=448) *and* avoids round-2's 556 s unroll compile
+            # fused Pallas LN/gelu->int8-quant producers (engine TPU default):
+            # 30.85 -> 28.42 ms at B=448 (scripts/bench_w8a8_model.py)
+            lnq_fuse=jax.default_backend() == "tpu",
         )
     )
 

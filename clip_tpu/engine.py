@@ -159,10 +159,13 @@ class ClipEngine:
         # Fused Pallas LN/gelu->int8-quant feeding the int8 GEMMs
         # (ops.actquant_pallas): the producer pass emits codes + scales
         # directly, so w8a8's separate amax pass and the bf16 round-trip of
-        # each GEMM input disappear.  Auto: off pending the in-model A/B
-        # (scripts/bench_w8a8_model.py --lnq); requires act_quant.
+        # each GEMM input disappear — measured +8.5% in-model on top of
+        # W8A8 (30.85 -> 28.42 ms at ViT-B/32 B=448;
+        # scripts/bench_w8a8_model.py round 3).  Auto: on whenever W8A8 is
+        # on and the TPU runs real kernels; CPU keeps the XLA-exact path
+        # (interpret-mode kernels are slow and test-only).
         if lnq_fuse is None:
-            lnq_fuse = False
+            lnq_fuse = self.act_quant and jax.default_backend() == "tpu"
         self.lnq_fuse = bool(lnq_fuse) and self.act_quant
 
         self.mesh = mesh
