@@ -66,7 +66,8 @@ def _run(args, fout) -> int:
         return 1
 
     engine = ClipEngine(args.model, verbosity=args.verbosity,
-                        use_mesh=args.use_mesh, act_quant=args.act_quant)
+                        use_mesh=args.use_mesh, act_quant=args.act_quant,
+                        lnq_fuse=args.lnq_fuse)
     labels = list(classes.keys())
 
     t0 = time.perf_counter()

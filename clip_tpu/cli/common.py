@@ -53,6 +53,11 @@ def base_parser(prog: str, description: str, *, needs_text: bool = True,
                    help="force int8 activation-quantized compute, including "
                         "for DENSE f16/f32 checkpoints (~1e-3 relative "
                         "weight error for the int8 MXU's dot rate)")
+    p.add_argument("--no-lnq-fuse", dest="lnq_fuse", action="store_false",
+                   default=None,
+                   help="disable the fused Pallas LN/gelu->int8-quant "
+                        "producers (on by default with W8A8 on TPU, +8.5%%; "
+                        "disable to isolate the unfused W8A8 path)")
     return p
 
 

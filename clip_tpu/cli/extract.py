@@ -29,7 +29,8 @@ def main(argv=None) -> int:
         p.error("at least one --text or --image is required")
 
     engine = ClipEngine(args.model, verbosity=args.verbosity,
-                        use_mesh=args.use_mesh, act_quant=args.act_quant)
+                        use_mesh=args.use_mesh, act_quant=args.act_quant,
+                        lnq_fuse=args.lnq_fuse)
     os.makedirs(args.output_dir, exist_ok=True)
 
     if args.text:

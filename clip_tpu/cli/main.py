@@ -21,7 +21,8 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     engine = ClipEngine(args.model, verbosity=args.verbosity,
-                        use_mesh=args.use_mesh, act_quant=args.act_quant)
+                        use_mesh=args.use_mesh, act_quant=args.act_quant,
+                        lnq_fuse=args.lnq_fuse)
     t_load = time.perf_counter() - t0
 
     t0 = time.perf_counter()

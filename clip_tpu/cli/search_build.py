@@ -24,7 +24,8 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     engine = ClipEngine(args.model, verbosity=args.verbosity,
-                        use_mesh=args.use_mesh, act_quant=args.act_quant)
+                        use_mesh=args.use_mesh, act_quant=args.act_quant,
+                        lnq_fuse=args.lnq_fuse)
     index = EmbeddingIndex(engine.projection_dim, model_path=args.model)
 
     all_paths: list[str] = []

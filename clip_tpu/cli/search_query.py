@@ -31,7 +31,8 @@ def main(argv=None) -> int:
         )
 
     engine = ClipEngine(args.model, verbosity=args.verbosity,
-                        use_mesh=args.use_mesh, act_quant=args.act_quant)
+                        use_mesh=args.use_mesh, act_quant=args.act_quant,
+                        lnq_fuse=args.lnq_fuse)
     if args.text:
         query = engine.encode_text(args.text[0], normalize=True)
     else:

@@ -285,7 +285,8 @@ def main(argv=None) -> int:
     engine = ClipEngine(args.model, verbosity=args.verbosity, unroll=args.unroll,
                         mesh=mesh, use_mesh=args.use_mesh and not args.distributed,
                         keep_quantized=not args.dense_weights,
-                        act_quant=args.act_quant)
+                        act_quant=args.act_quant,
+                        lnq_fuse=args.lnq_fuse)
 
     server_holder: list = []
     server_ready = threading.Event()

@@ -19,7 +19,8 @@ def main(argv=None) -> int:
         p.error("exactly one --text and one --image are required")
 
     engine = ClipEngine(args.model, verbosity=args.verbosity,
-                        use_mesh=args.use_mesh, act_quant=args.act_quant)
+                        use_mesh=args.use_mesh, act_quant=args.act_quant,
+                        lnq_fuse=args.lnq_fuse)
 
     tokens = engine.tokenize(args.text[0])
     print(f"tokens: {tokens}")

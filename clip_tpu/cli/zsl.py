@@ -24,7 +24,8 @@ def main(argv=None) -> int:
         p.error("at least two --text labels and exactly one --image are required")
 
     engine = ClipEngine(args.model, verbosity=args.verbosity,
-                        use_mesh=args.use_mesh, act_quant=args.act_quant)
+                        use_mesh=args.use_mesh, act_quant=args.act_quant,
+                        lnq_fuse=args.lnq_fuse)
     scores, indices = engine.zero_shot_label_image(
         args.image[0], args.text, templates=args.templates)
     for s, i in zip(scores, indices):
