@@ -75,6 +75,15 @@ def _resolve(backend: str, x, w) -> str:
         return backend
     if jax.default_backend() != "tpu" or not isinstance(w, QTensor) or w.q.ndim != 2:
         return "xla"
+    # q5 formats stay on the fused kernel at ANY row count: their XLA
+    # bit-plane dequant is catastrophic inside lax.scan over stacked layer
+    # weights (ViT-H/14 q5_1 B=32: 1962 ms/step vs 243 via the kernel vs
+    # 106 unrolled — the unpack chain won't fuse across the scan's
+    # dynamic-slice; scripts/bench_q5_rows.py + round-3 in-model probe).
+    # Isolated GEMMs tell the opposite story (XLA 101 TF/s at 22k rows),
+    # so this is a scan-shape rule, not a GEMM rule.
+    if w.is_packed5:
+        return "pallas"
     rows = 1
     for d in x.shape[:-1]:
         rows *= d
