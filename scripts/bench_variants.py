@@ -58,7 +58,9 @@ def bench(variant: str) -> tuple[float, float]:
     # 32.6 ms) and each unroll compile costs minutes through the relay
     fn = jax.jit(functools.partial(
         encode_image, cfg=cfg.vision, use_gelu=cfg.use_gelu,
-        normalize=True, compute_dtype=jnp.bfloat16))
+        normalize=True, compute_dtype=jnp.bfloat16,
+        # fused LN/gelu->int8-quant producers: the engine TPU default
+        lnq_fuse=jax.default_backend() == "tpu"))
     out = fn(params, pixels=px)
     float(jnp.sum(out))
     ts = []
