@@ -59,6 +59,8 @@ def main() -> None:
                     help="bf16 dequant path instead of W8A8")
     ap.add_argument("--dense", action="store_true", help="dense bf16 weights")
     ap.add_argument("--unroll", action="store_true")
+    ap.add_argument("--no-lnq", action="store_true",
+                    help="disable the fused LN/gelu->quant producers")
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--clock-ghz", type=float, default=0.94,
                     help="chip clock for the ms column (v6e-class ~0.94)")
@@ -96,7 +98,9 @@ def main() -> None:
 
     fn = functools.partial(encode_image, cfg=cfg.vision, use_gelu=cfg.use_gelu,
                            normalize=True, compute_dtype=jnp.bfloat16,
-                           unroll=args.unroll)
+                           unroll=args.unroll,
+                           lnq_fuse=not (args.no_lnq or args.no_w8 or args.dense)
+                           and jax.default_backend() == "tpu")
     px = jnp.zeros((args.batch, cfg.vision.image_size, cfg.vision.image_size, 3),
                    jnp.bfloat16)
     print(f"compiling {args.variant} B={args.batch} "

@@ -19,4 +19,6 @@ run variants2 7200 python scripts/bench_variants.py
 run knee384   1800 python scripts/bench_w8a8_model.py 384
 run knee512   1800 python scripts/bench_w8a8_model.py 512
 run latency2  2400 python scripts/bench_latency.py
+run l336b64   1800 python scripts/bench_w8a8_model.py 64 ViT-L/14-336
+run hlocyc    2400 python scripts/hlo_cycles.py --top 30
 echo "ALL DONE (d) $(date +%H:%M:%S)" | tee -a .cache/round3/driver_d.log
