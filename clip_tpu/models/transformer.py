@@ -116,6 +116,28 @@ def attention(
     h_loc = qkv.shape[-1] // 3
     n_head_loc = h_loc // d_head
 
+    # int8 attention epilogue: when the o-projection runs W8A8, the flat
+    # kernel quantizes its output in VMEM (codes + row scales) so the
+    # o-GEMM's separate amax pass and the bf16 round-trip of the attention
+    # output disappear — the last unfused GEMM-input pipeline in the block
+    quant_o = (
+        lnq_fuse and impl == "pallas"
+        and isinstance(lp["o_w"], W8Tensor) and fusable_width(h_loc)
+        and flat_eligible(b, s, qkv.shape[-1])
+    )
+    if quant_o:
+        codes, sx = mha_pallas_qkv(
+            qkv, n_head=n_head_loc, scale=scale, causal=causal,
+            interpret=jax.default_backend() != "tpu",
+            valid_len=valid_len, quant_out=True,
+        )
+        proj = w8a8_pre(
+            codes.reshape(b * s, h_loc), sx.reshape(b * s, 1),
+            lp["o_w"], compute_dtype).reshape(b, s, -1)
+        if tp_axis is not None:
+            proj = jax.lax.psum(proj, tp_axis)
+        return proj + lp["o_b"].astype(proj.dtype)
+
     if impl == "pallas":
         # fused qkv goes straight into the kernel: no split/scale/pad passes
         out = mha_pallas_qkv(

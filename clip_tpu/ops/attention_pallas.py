@@ -111,15 +111,21 @@ def _qkv_kernel(qkv_ref, o_ref, *, n_head, seq_len, causal, scale):
             bb, s_pad, dh)
 
 
-def _qkv_kernel_flat(qkv_ref, o_ref, *, n_head, seq_len, causal, scale,
-                     valid_len):
+def _qkv_kernel_flat(qkv_ref, o_ref, *s_ref_opt, n_head, seq_len, causal,
+                     scale, valid_len, quant_out=False):
     """Pad-free variant: rows are ``bb`` whole images flattened to
     ``[bb*S, 3H]`` (chosen so the row count is sublane-aligned), so the HBM
     pad pass the 3-D layout needs (S -> S_pad rewrite of the full activation
     every layer, ~1.1 ms/step at ViT-B/32 B=256) disappears, and the output
     is produced in the flat 2-D layout the residual add wants (no relayout
     copy).  ``valid_len < seq_len`` masks trailing pad KEYS within each
-    image (the pad-once-at-embedding vision path)."""
+    image (the pad-once-at-embedding vision path).
+
+    ``quant_out``: int8 epilogue for the W8A8 o-projection — per-row amax +
+    quantize of the mixed output happens here in VMEM (same math as
+    ``w8a8_matmul``'s operand quant), so the o-GEMM's separate amax pass and
+    the bf16 write/read of the attention output disappear; ``o_ref`` holds
+    int8 codes and ``s_ref_opt[0]`` the f32 row scales."""
     rt = qkv_ref.shape[0]
     h = qkv_ref.shape[1] // 3
     dh = h // n_head
@@ -135,6 +141,7 @@ def _qkv_kernel_flat(qkv_ref, o_ref, *, n_head, seq_len, causal, scale,
 
     contract_t = (((1,), (1,)), ((), ()))
     contract_n = (((1,), (0,)), ((), ()))
+    outs = []
     for hd in range(n_head):
         qs = slice(hd * dh, (hd + 1) * dh)
         ks = slice(h + hd * dh, h + (hd + 1) * dh)
@@ -152,7 +159,16 @@ def _qkv_kernel_flat(qkv_ref, o_ref, *, n_head, seq_len, causal, scale,
         out = jax.lax.dot_general(
             p.astype(qkv_ref.dtype), vh, contract_n, preferred_element_type=jnp.float32
         )
-        o_ref[:, qs] = out.astype(o_ref.dtype)
+        if quant_out:
+            outs.append(out)
+        else:
+            o_ref[:, qs] = out.astype(o_ref.dtype)
+    if quant_out:
+        y = jnp.concatenate(outs, axis=1)          # [rt, h] f32
+        amax = jnp.max(jnp.abs(y), axis=1, keepdims=True)
+        sx = amax / 127.0 + 1e-12
+        o_ref[:] = jnp.clip(jnp.round(y / sx), -127, 127).astype(jnp.int8)
+        s_ref_opt[0][:] = sx
 
 
 _FLAT_MAX_ROWS = 448    # multi-image blocks: bounds block-diagonal waste
@@ -203,7 +219,7 @@ def flat_eligible(b: int, s: int, h3: int | None = None) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("n_head", "causal", "scale", "interpret", "block_b",
-                     "valid_len"),
+                     "valid_len", "quant_out"),
 )
 def mha_pallas_qkv(
     qkv: jnp.ndarray,
@@ -214,14 +230,20 @@ def mha_pallas_qkv(
     interpret: bool = False,
     block_b: int = 8,
     valid_len: "int | None" = None,
-) -> jnp.ndarray:
+    quant_out: bool = False,
+):
     """Fused MHA over the fused projection ``qkv [B, S, 3H]`` -> ``[B, S, H]``.
 
     ``scale`` multiplies the Q slice in-kernel (the reference scales Q before
     QK^T, clip.cpp:1082).  Short sequences (bb*S rows fit one VMEM score
     tile) take the pad-free flat path; longer ones the padded 3-D path.
     ``valid_len``: true sequence length when the input was padded once at
-    embedding time (vision pad-once path) — trailing keys are masked."""
+    embedding time (vision pad-once path) — trailing keys are masked.
+
+    ``quant_out`` (flat path only — callers gate on :func:`flat_eligible`):
+    returns ``(codes int8 [B, S, H], scales f32 [B, S, 1])`` with the
+    output per-row int8-quantized in the kernel epilogue, ready for the
+    W8A8 o-projection (``actquant_pallas.w8a8_pre``)."""
     b, s, h3 = qkv.shape
     h = h3 // 3
     vl = s if valid_len is None else valid_len
@@ -235,14 +257,25 @@ def mha_pallas_qkv(
             q2 = jnp.pad(q2, ((0, (b_pad - b) * s), (0, 0)))
         kernel = functools.partial(
             _qkv_kernel_flat, n_head=n_head, seq_len=s, causal=causal,
-            scale=scale, valid_len=vl,
+            scale=scale, valid_len=vl, quant_out=quant_out,
         )
+        if quant_out:
+            out_shape = (jax.ShapeDtypeStruct((b_pad * s, h), jnp.int8),
+                         jax.ShapeDtypeStruct((b_pad * s, 1), jnp.float32))
+            out_specs = (
+                pl.BlockSpec((rt, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            )
+        else:
+            out_shape = jax.ShapeDtypeStruct((b_pad * s, h), qkv.dtype)
+            out_specs = pl.BlockSpec((rt, h), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
         out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((b_pad * s, h), qkv.dtype),
+            out_shape=out_shape,
             grid=(b_pad // bb_flat,),
             in_specs=[pl.BlockSpec((rt, h3), lambda i: (i, 0), memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((rt, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_specs=out_specs,
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
                 flops=4 * b_pad * s * rt * h,
@@ -250,7 +283,14 @@ def mha_pallas_qkv(
                 transcendentals=b_pad * n_head * s * rt,
             ),
         )(q2)
+        if quant_out:
+            codes, scales = out
+            return (codes[: b * s].reshape(b, s, h),
+                    scales[: b * s].reshape(b, s, 1))
         return out[: b * s].reshape(b, s, h)
+    if quant_out:
+        raise ValueError(
+            "quant_out requires the flat path: gate on flat_eligible(b, s, 3h)")
 
     # sublane tile is 8 for f32, 16 for bf16/f16: pad S so Mosaic never
     # re-pads/relayouts internally

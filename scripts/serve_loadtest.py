@@ -117,6 +117,9 @@ def main() -> None:
                     help="skip server --warmup (CPU smoke runs: full-bucket "
                          "precompiles take minutes off-TPU; the one-of-each "
                          "pre-phase still keeps compiles out of timed windows)")
+    ap.add_argument("--server-args", default="",
+                    help="extra args for the serve subprocess, e.g. "
+                         "'--no-act-quant' to A/B the engine path")
     args = ap.parse_args()
 
     model = args.model
@@ -139,6 +142,8 @@ def main() -> None:
            "--max-batch", str(args.max_batch), "-v", "0"]
     if not args.no_warmup:
         cmd.append("--warmup")
+    if args.server_args:
+        cmd.extend(args.server_args.split())
     env = dict(os.environ)
     if env.get("JAX_PLATFORMS") == "cpu":
         # the axon sitecustomize force-selects jax_platforms="axon,cpu" at

@@ -258,3 +258,34 @@ def test_lnq_fuse_shard_map_tp(tmp_path, rng, n_data, n_model):
     cos_t = np.sum(out_t * ref_t, axis=-1)
     assert cos_t.min() > 0.999, f"min cos {cos_t.min()}"
     base.close(); eng.close()
+
+
+def test_attention_quant_epilogue_matches_unfused(rng):
+    """Flat attention kernel with the int8 output epilogue (quant_out) must
+    match the unfused pallas-attention + w8a8 o-projection to rounding
+    tolerance (same per-row amax quant math, fused into the kernel)."""
+    from clip_tpu.ops.attention_pallas import flat_eligible
+
+    h, f = 256, 1024
+    b, s = 2, 16  # flat-eligible: 32 rows, 8-aligned
+    assert flat_eligible(b, s, 3 * h)
+    lp = _layer_params(rng, h, f)
+    for k in ("qkv_w", "o_w", "up_w", "down_w"):
+        lp[k] = to_w8tensor(lp[k])
+    x = jnp.asarray(rng.normal(0, 1, (b, s, h)), jnp.float32)
+    kw = dict(n_head=4, eps=EPS, use_gelu=False,
+              compute_dtype=jnp.float32, attn_impl="pallas")
+    ref = transformer.block(x, lp, lnq_fuse=False, **kw)
+    out = transformer.block(x, lp, lnq_fuse=True, **kw)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=3e-3, atol=3e-3)
+
+    # non-flat shape (s=10 -> 20 rows, not 8-aligned): quant_o must gate off
+    # and the fused-MLP-only path still matches
+    b2, s2 = 2, 10
+    assert not flat_eligible(b2, s2, 3 * h)
+    x2 = jnp.asarray(rng.normal(0, 1, (b2, s2, h)), jnp.float32)
+    ref2 = transformer.block(x2, lp, lnq_fuse=False, **kw)
+    out2 = transformer.block(x2, lp, lnq_fuse=True, **kw)
+    np.testing.assert_allclose(
+        np.asarray(out2), np.asarray(ref2), rtol=3e-3, atol=3e-3)
