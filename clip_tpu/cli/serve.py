@@ -111,11 +111,16 @@ def make_handler(engine: ClipEngine, batcher, timeout_s: float = 600.0,
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, obj) -> None:
             body = json.dumps(obj).encode()
-            self.send_response(code)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            try:
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except (BrokenPipeError, ConnectionResetError):
+                # client hung up (load-test teardown, impatient caller) —
+                # the request was served; don't spam a traceback per socket
+                pass
 
         def log_message(self, fmt, *args):  # quiet
             pass
