@@ -123,7 +123,7 @@ def attention(
     quant_o = (
         lnq_fuse and impl == "pallas"
         and isinstance(lp["o_w"], W8Tensor) and fusable_width(h_loc)
-        and flat_eligible(b, s, qkv.shape[-1])
+        and flat_eligible(b, s, qkv.shape[-1], quant_out=True)
     )
     if quant_o:
         codes, sx = mha_pallas_qkv(

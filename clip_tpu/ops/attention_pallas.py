@@ -177,7 +177,8 @@ _FLAT_MAX_S1 = 640      # single-image blocks: bounded by VMEM only
 _FLAT_VMEM_BUDGET = 12 * 2**20  # of the 16 MB scoped-VMEM limit
 
 
-def _flat_block_b(b: int, s: int, h3: int | None = None) -> "int | None":
+def _flat_block_b(b: int, s: int, h3: int | None = None,
+                  quant_out: bool = False) -> "int | None":
     """Images per grid step for the flat kernel, or None if ineligible.
 
     The row count bb*S must be a multiple of 8 (f32 sublane; measured on
@@ -187,7 +188,10 @@ def _flat_block_b(b: int, s: int, h3: int | None = None) -> "int | None":
     bb that still fills MXU tiles.  Single-image blocks (S already
     8-aligned, bb=1) carry NO waste, so they are bounded only by VMEM —
     checked against ``h3`` (= 3*hidden) when provided (ViT-L/14-336's
-    S=584 rides this).
+    S=584 rides this).  ``quant_out`` charges the int8 epilogue's extra
+    residency (the f32 concat of all head outputs + codes) so the quantizing
+    variant gates off where it would blow the scoped-VMEM limit instead of
+    failing at compile time (seen: L/14-336 S=584 h=1024).
     """
     g = 2 if s % 2 == 0 else 1
     g = 4 if s % 4 == 0 else g
@@ -197,7 +201,12 @@ def _flat_block_b(b: int, s: int, h3: int | None = None) -> "int | None":
     if bb * s > _FLAT_MAX_ROWS:
         if base == 1 and s <= _FLAT_MAX_S1 and h3 is not None:
             # qkv block + out block + scores + probs, all resident at once
-            vmem = s * h3 * 2 + s * (h3 // 3) * 2 + 2 * s * s * 4
+            h = h3 // 3
+            vmem = s * h3 * 2 + s * h * 2 + 2 * s * s * 4
+            if quant_out:
+                # per-head f32 outs AND their concat are both live at the
+                # epilogue, plus the int8 codes
+                vmem += 2 * s * h * 4 + s * h
             if vmem > _FLAT_VMEM_BUDGET:
                 return None
             bb = 1
@@ -206,14 +215,17 @@ def _flat_block_b(b: int, s: int, h3: int | None = None) -> "int | None":
     return min(bb, b) if (min(bb, b) * s) % 8 == 0 else None
 
 
-def flat_eligible(b: int, s: int, h3: int | None = None) -> bool:
+def flat_eligible(b: int, s: int, h3: int | None = None,
+                  quant_out: bool = False) -> bool:
     """Public contract: True iff ``mha_pallas_qkv`` will take the flat
     pad-free path for a [b, s, 3H] input.  Callers that shape their
     producers for the kernel's operand layout (models.transformer's 2-D qkv
     projection) MUST use this — not a reimplementation — so the two can
     never desynchronize.  Pass ``h3`` (= 3*hidden) to enable the
-    single-image long-sequence path (its VMEM check needs the width)."""
-    return _flat_block_b(b, s, h3) is not None
+    single-image long-sequence path (its VMEM check needs the width), and
+    ``quant_out=True`` when asking for the int8 epilogue (stricter VMEM
+    bound)."""
+    return _flat_block_b(b, s, h3, quant_out) is not None
 
 
 @functools.partial(
@@ -248,7 +260,7 @@ def mha_pallas_qkv(
     h = h3 // 3
     vl = s if valid_len is None else valid_len
 
-    bb_flat = _flat_block_b(b, s, h3)
+    bb_flat = _flat_block_b(b, s, h3, quant_out)
     if bb_flat is not None:
         rt = bb_flat * s
         b_pad = -(-b // bb_flat) * bb_flat

@@ -86,6 +86,7 @@ def main():
             print(f"| {v} | {batch} | {ms:.1f} | {ips:,.0f} |", flush=True)
         except Exception as e:
             print(f"| {v} | {batch} | FAILED {type(e).__name__} | |", flush=True)
+            print(f"    {str(e)[:400]}", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
