@@ -43,6 +43,8 @@ from .tokenizer import ClipTokenizer
 from .utils import enable_compile_cache, log
 
 _BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+# fused-producer width rule (measured, see ClipEngine lnq_fuse comment)
+_LNQ_MAX_HIDDEN = 768
 
 
 def _bucket(n: int) -> int:
@@ -159,11 +161,16 @@ class ClipEngine:
         # Fused Pallas LN/gelu->int8-quant feeding the int8 GEMMs
         # (ops.actquant_pallas): the producer pass emits codes + scales
         # directly, so w8a8's separate amax pass and the bf16 round-trip of
-        # each GEMM input disappear — measured +8.5% in-model on top of
-        # W8A8 (30.85 -> 28.42 ms at ViT-B/32 B=448;
-        # scripts/bench_w8a8_model.py round 3).  Auto: on whenever W8A8 is
-        # on and the TPU runs real kernels; CPU keeps the XLA-exact path
-        # (interpret-mode kernels are slow and test-only).
+        # each GEMM input disappear — measured +8.5% at ViT-B/32 B=448 and
+        # +10% at B/16, but LOSING 7-12% at hidden >= 1024 (L/14 859 vs 964,
+        # L/14-336 375 vs 428, H/14 539 vs 578 img/s — in-window A/Bs,
+        # scripts/bench_w8a8_model.py round 3: XLA fuses residual+LN+quant
+        # into one pass on its own, and at wide H the pallas producer's
+        # fusion barrier costs more than the amax pass it removes).  Auto:
+        # per-tower, on for hidden <= _LNQ_MAX_HIDDEN when W8A8 runs real
+        # TPU kernels; explicit lnq_fuse=True forces it on everywhere; CPU
+        # keeps the XLA-exact path (interpret kernels are test-only).
+        self._lnq_forced = lnq_fuse is True
         if lnq_fuse is None:
             lnq_fuse = self.act_quant and jax.default_backend() == "tpu"
         self.lnq_fuse = bool(lnq_fuse) and self.act_quant
@@ -270,6 +277,15 @@ class ClipEngine:
         b = _bucket(n)
         return b if b % m == 0 else ((b + m - 1) // m) * m
 
+    def _tower_lnq(self, tower_cfg) -> bool:
+        """Per-tower fused-producer decision: the measured width rule
+        (hidden <= 768 wins, >= 1024 loses) unless the user forced it."""
+        if not self.lnq_fuse:
+            return False
+        if self._lnq_forced:
+            return True
+        return tower_cfg.hidden_size <= _LNQ_MAX_HIDDEN
+
     # -- hparams (clip_get_text_hparams / clip_get_vision_hparams) ----------
 
     @property
@@ -369,7 +385,7 @@ class ClipEngine:
                     unroll=self.unroll,
                     qmm_backend=self._qmm_backend,
                     tp_axis=self._tp_axis,
-                    lnq_fuse=self.lnq_fuse,
+                    lnq_fuse=self._tower_lnq(cfg.text),
                 )
 
             self._jit_cache[key] = self._wrap(
@@ -390,7 +406,7 @@ class ClipEngine:
                     unroll=self.unroll,
                     qmm_backend=self._qmm_backend,
                     tp_axis=self._tp_axis,
-                    lnq_fuse=self.lnq_fuse,
+                    lnq_fuse=self._tower_lnq(cfg.vision),
                 )
 
             self._jit_cache[key] = self._wrap(fn, "vision", self._batch_spec(4))
@@ -419,7 +435,7 @@ class ClipEngine:
                     unroll=self.unroll,
                     qmm_backend=self._qmm_backend,
                     tp_axis=self._tp_axis,
-                    lnq_fuse=self.lnq_fuse,
+                    lnq_fuse=self._tower_lnq(cfg.vision),
                 )
 
             self._jit_cache[key] = self._wrap(fn, "vision", self._batch_spec(4))
