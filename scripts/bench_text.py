@@ -57,11 +57,11 @@ def main():
         rng.integers(1, cfg.text.n_vocab - 1, size=(BATCH, s)), jnp.int32))
     lengths = jax.device_put(jnp.full((BATCH,), s, jnp.int32))
 
-    def run_one(name, params):
+    def run_one(name, params, **kw):
         params = jax.device_put(params["text"])
         fn = jax.jit(functools.partial(
             encode_text, cfg=cfg.text, use_gelu=cfg.use_gelu,
-            normalize=True, compute_dtype=jnp.bfloat16))
+            normalize=True, compute_dtype=jnp.bfloat16, **kw))
         out = fn(params, token_ids=ids, lengths=lengths)
         float(jnp.sum(out))
         ts = []
@@ -78,6 +78,7 @@ def main():
 
     run_one("q4_bf16", pq)
     run_one("q4_w8a8", pw8)
+    run_one("w8+lnq", pw8, lnq_fuse=True)  # H=512: the width rule's low end
     run_one("dense", pdense)
     run_one("q4_w8a8b", pw8)  # drift check
 

@@ -16,6 +16,8 @@ run() {
   echo "=== $name exit=$? $(date +%H:%M:%S)" | tee -a .cache/round3/driver_e.log
 }
 
+run variants3 7200 python scripts/bench_variants.py
+run text2     2400 python scripts/bench_text.py 256
 run srv_w8a   3600 python scripts/serve_loadtest.py
 run srv_noaq  3600 python scripts/serve_loadtest.py --server-args --no-act-quant
 run srv_w8b   3600 python scripts/serve_loadtest.py
