@@ -277,14 +277,18 @@ class ClipEngine:
         b = _bucket(n)
         return b if b % m == 0 else ((b + m - 1) // m) * m
 
-    def _tower_lnq(self, tower_cfg) -> bool:
-        """Per-tower fused-producer decision: the measured width rule
-        (hidden <= 768 wins, >= 1024 loses) unless the user forced it."""
+    def _tower_lnq(self, tower_cfg, kind: str) -> bool:
+        """Per-tower fused-producer decision (measured rule, see the
+        lnq_fuse comment in __init__): vision towers at hidden <= 768 win
+        (+8.5%/+10%); wide vision towers lose 7-12%; the TEXT tower loses
+        even at H=512 (18.2k -> 14.8k texts/s, scripts/bench_text.py) — its
+        short-S flat blocks don't amortize the producer boundary.  Explicit
+        lnq_fuse=True forces it on everywhere."""
         if not self.lnq_fuse:
             return False
         if self._lnq_forced:
             return True
-        return tower_cfg.hidden_size <= _LNQ_MAX_HIDDEN
+        return kind == "vision" and tower_cfg.hidden_size <= _LNQ_MAX_HIDDEN
 
     # -- hparams (clip_get_text_hparams / clip_get_vision_hparams) ----------
 
@@ -385,7 +389,7 @@ class ClipEngine:
                     unroll=self.unroll,
                     qmm_backend=self._qmm_backend,
                     tp_axis=self._tp_axis,
-                    lnq_fuse=self._tower_lnq(cfg.text),
+                    lnq_fuse=self._tower_lnq(cfg.text, "text"),
                 )
 
             self._jit_cache[key] = self._wrap(
@@ -406,7 +410,7 @@ class ClipEngine:
                     unroll=self.unroll,
                     qmm_backend=self._qmm_backend,
                     tp_axis=self._tp_axis,
-                    lnq_fuse=self._tower_lnq(cfg.vision),
+                    lnq_fuse=self._tower_lnq(cfg.vision, "vision"),
                 )
 
             self._jit_cache[key] = self._wrap(fn, "vision", self._batch_spec(4))
@@ -435,7 +439,7 @@ class ClipEngine:
                     unroll=self.unroll,
                     qmm_backend=self._qmm_backend,
                     tp_axis=self._tp_axis,
-                    lnq_fuse=self._tower_lnq(cfg.vision),
+                    lnq_fuse=self._tower_lnq(cfg.vision, "vision"),
                 )
 
             self._jit_cache[key] = self._wrap(fn, "vision", self._batch_spec(4))
