@@ -173,8 +173,12 @@ def test_engine_lnq_fuse(tmp_path, rng):
     t1 = fused.encode_text(texts, normalize=True)
     i0 = base.encode_image(img, normalize=True)
     i1 = fused.encode_image(img, normalize=True)
-    assert (t0 * t1).sum(1).min() > 0.9999, (t0 * t1).sum(1)
-    assert float(i0 @ i1) > 0.9999
+    # CPU runs both paths in f32 (near-identical); on TPU the real kernels
+    # run bf16 and rounding-tie codes drift a little further (observed
+    # 0.99928 on the forced-text arm)
+    bound = 0.999 if jax.default_backend() == "tpu" else 0.9999
+    assert (t0 * t1).sum(1).min() > bound, (t0 * t1).sum(1)
+    assert float(i0 @ i1) > bound
     base.close(); fused.close()
 
     # lnq_fuse without act_quant is inert
