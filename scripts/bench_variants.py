@@ -29,7 +29,7 @@ from clip_tpu.utils import enable_compile_cache
 BATCHES = {
     "ViT-B/32": 448,
     "ViT-B/16": 192,
-    "ViT-L/14": 128,
+    "ViT-L/14": 192,  # round-3 re-sweep: 977 vs 960 at 128 (in-window)
     "ViT-L/14-336": 32,
     "ViT-H/14": 32,
 }
