@@ -93,7 +93,10 @@ def _convert_layers_to_w8(params: dict, include_dense: bool = False) -> dict:
             w = layers.get(name)
             if isinstance(w, QTensor) or (
                 include_dense and w is not None and not isinstance(w, QTensor)):
-                layers[name] = to_w8tensor(w)
+                # keep_source: the packed blocks ride along for hybrid
+                # routing (small-row GEMMs take the fused dequant kernel —
+                # ~1.8x fewer weight bytes; ops/linear.qmatmul)
+                layers[name] = to_w8tensor(w, keep_source=True)
         t = dict(out[tower])
         t["layers"] = layers
         out[tower] = t

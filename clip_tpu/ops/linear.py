@@ -106,10 +106,25 @@ def qmatmul(
     ``compute_dtype`` controls the dtype weights are dequantized to / the dot
     runs in (defaults to ``x.dtype``); accumulation is always float32.
     """
-    backend = _resolve(backend or _DEFAULT_BACKEND, x, w)
+    requested = backend or _DEFAULT_BACKEND
+    backend = _resolve(requested, x, w)
     compute_dtype = compute_dtype or x.dtype
 
     if isinstance(w, W8Tensor):
+        # hybrid routing: a small-row GEMM is weight-bandwidth bound, and the
+        # packed source (when kept, see qtensor.to_w8tensor) moves ~1.8x
+        # fewer bytes through the fused Pallas dequant kernel than the int8
+        # codes (7.5 vs 12.4 us/GEMM at M=1, [3072,768], slope-timed).
+        # Explicit backend='xla' (the pjit fallback — Pallas custom calls
+        # are not pjit-partitionable) keeps the int8 path.
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= d
+        if (w.qt is not None and rows <= _PALLAS_MAX_ROWS
+                and requested != "xla" and jax.default_backend() == "tpu"):
+            from .qmatmul_pallas import qmatmul_pallas
+
+            return qmatmul_pallas(x, w.qt, compute_dtype=compute_dtype)
         return w8a8_matmul(x, w, compute_dtype)
     if isinstance(w, QTensor):
         if backend == "pallas":

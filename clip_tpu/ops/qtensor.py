@@ -111,19 +111,27 @@ class W8Tensor:
     because the MXU contracts the whole K axis in one pass.
 
     ``qtype`` records the source format for reporting only.
+
+    ``qt`` (optional) keeps the SOURCE block-quantized tensor alongside the
+    int8 codes — the hybrid layout: throughput GEMMs run the int8 MXU on
+    ``c8`` while small-row (latency) GEMMs read the packed source through
+    the fused Pallas dequant kernel, which moves ~1.8x fewer weight bytes
+    (q4: 0.5625 vs 1 B/elt; slope-measured 7.5 vs 12.4 us/GEMM at M=1 on
+    [3072,768]).  Total HBM cost stays below a dense bf16 copy.
     """
 
     c8: Any                # int8 codes [..., N, K]
     ws: Any                # float32 per-channel scales [..., N]
     qtype: GGMLType        # static: source format tag
+    qt: Any = None         # optional packed source QTensor (hybrid routing)
 
     def tree_flatten(self):
-        return (self.c8, self.ws), self.qtype
+        return (self.c8, self.ws, self.qt), self.qtype
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        c8, ws = children
-        return cls(c8=c8, ws=ws, qtype=aux)
+        c8, ws, qt = children
+        return cls(c8=c8, ws=ws, qtype=aux, qt=qt)
 
     @property
     def shape(self) -> tuple[int, ...]:
@@ -131,7 +139,10 @@ class W8Tensor:
 
     @property
     def nbytes(self) -> int:
-        return self.c8.size + self.ws.size * self.ws.dtype.itemsize
+        n = self.c8.size + self.ws.size * self.ws.dtype.itemsize
+        if self.qt is not None:
+            n += self.qt.nbytes
+        return n
 
 
 def dequant_np(qt: QTensor) -> np.ndarray:
@@ -159,7 +170,7 @@ def dequant_np(qt: QTensor) -> np.ndarray:
     return w.reshape(*codes.shape[:-1], k).astype(np.float32)
 
 
-def to_w8tensor(qt) -> W8Tensor:
+def to_w8tensor(qt, keep_source: bool = False) -> W8Tensor:
     """Re-quantize a weight to per-channel int8 (host-side).
 
     Accepts a block-quantized :class:`QTensor` (the TPU default for quantized
@@ -169,16 +180,22 @@ def to_w8tensor(qt) -> W8Tensor:
     for block formats the extra error vs the source format is bounded by the
     channel's cross-block dynamic range and measures ~1e-3 relative on CLIP
     weights (tests/test_w8a8.py) — an order below q4_0's own quantization
-    error."""
+    error.
+
+    ``keep_source=True`` (QTensor inputs only) attaches the packed source
+    for hybrid routing: small-row GEMMs take the fused Pallas dequant kernel
+    (fewer weight bytes), throughput GEMMs the int8 MXU."""
     if isinstance(qt, QTensor):
         w, qtype = dequant_np(qt), qt.qtype
+        src = qt if keep_source else None
     else:
         w = np.asarray(jax.device_get(qt), dtype=np.float32)
         qtype = GGMLType.F16
+        src = None
     ws = np.abs(w).max(axis=-1) / 127.0
     ws = np.maximum(ws, 1e-12)
     c8 = np.clip(np.rint(w / ws[..., None]), -127, 127).astype(np.int8)
-    return W8Tensor(c8=c8, ws=ws.astype(np.float32), qtype=qtype)
+    return W8Tensor(c8=c8, ws=ws.astype(np.float32), qtype=qtype, qt=src)
 
 
 def from_ggml_blocks(

@@ -84,10 +84,12 @@ def param_specs(params: Any, n_model: int) -> Any:
             return QTensor(q=spec, d=spec, m=mspec, qtype=node.qtype, hb=hspec)
         if isinstance(node, W8Tensor):
             # c8 [L, N, K] shards like a dense weight; ws [L, N] drops the
-            # K entry (sharded-K leaves the per-channel scales replicated)
+            # K entry (sharded-K leaves the per-channel scales replicated);
+            # the hybrid's packed source shards exactly like a bare QTensor
             spec = _leaf_spec(path, node, n_model)
             wspec = P(*tuple(spec)[:2]) if len(tuple(spec)) >= 2 else P()
-            return W8Tensor(c8=spec, ws=wspec, qtype=node.qtype)
+            qtspec = None if node.qt is None else walk(node.qt, path)
+            return W8Tensor(c8=spec, ws=wspec, qtype=node.qtype, qt=qtspec)
         return _leaf_spec(path, node, n_model)
 
     return walk(params, ())
@@ -142,8 +144,11 @@ def _shard_tree(params, specs, mesh):
         ok = (_divisible(params.c8, specs.c8, mesh)
               and _divisible(params.ws, specs.ws, mesh))
         cs, ws_ = (specs.c8, specs.ws) if ok else (P(), P())
-        return W8Tensor(c8=_put(params.c8, cs, mesh),
-                        ws=_put(params.ws, ws_, mesh), qtype=params.qtype)
+        return W8Tensor(
+            c8=_put(params.c8, cs, mesh),
+            ws=_put(params.ws, ws_, mesh), qtype=params.qtype,
+            qt=None if params.qt is None else _shard_tree(
+                params.qt, specs.qt, mesh))
     return _put(params, specs, mesh)
 
 
@@ -192,7 +197,8 @@ def _permute_rows(w, idx):
         )
     if isinstance(w, W8Tensor):
         return W8Tensor(c8=np.asarray(w.c8)[:, idx], ws=np.asarray(w.ws)[:, idx],
-                        qtype=w.qtype)
+                        qtype=w.qtype,
+                        qt=None if w.qt is None else _permute_rows(w.qt, idx))
     return np.asarray(w)[:, idx]
 
 
@@ -245,8 +251,11 @@ def spmd_compatible(params: Any, mesh: Mesh, n_heads: dict) -> bool:
                 good = good and _divisible(node.hb, spec.hb, mesh)
             return good
         if isinstance(node, W8Tensor):
-            return (_divisible(node.c8, spec.c8, mesh)
+            good = (_divisible(node.c8, spec.c8, mesh)
                     and _divisible(node.ws, spec.ws, mesh))
+            if node.qt is not None:
+                good = good and ok(node.qt, spec.qt)
+            return good
         if node is None:
             return True
         return _divisible(node, spec, mesh)

@@ -196,3 +196,44 @@ def test_w8_engine_under_mesh(tmp_path, rng):
     b = meshed.encode_text(texts, normalize=True)
     assert (a * b).sum(1).min() > 0.999
     single.close(); meshed.close()
+
+
+def test_hybrid_w8_keeps_source_and_routes(rng, monkeypatch):
+    """Hybrid layout: to_w8tensor(keep_source=True) carries the packed
+    source, and qmatmul routes small-row GEMMs to the fused dequant kernel
+    (weight-bandwidth: ~1.8x fewer bytes than int8 codes) while throughput
+    rows stay on the int8 MXU and the pjit fallback (backend='xla') never
+    touches a Pallas call."""
+    import importlib
+
+    import jax
+
+    L = importlib.import_module("clip_tpu.ops.linear")
+    qt, _ = _make_qtensor(rng, n=64, k=128)
+    w8 = to_w8tensor(qt, keep_source=True)
+    assert w8.qt is qt
+    assert to_w8tensor(qt).qt is None  # default unchanged
+
+    monkeypatch.setattr(L.jax, "default_backend", lambda: "tpu")
+    small = jnp.zeros((8, 128), jnp.float32)
+    big = jnp.zeros((4096, 128), jnp.float32)
+    jp_small = str(jax.make_jaxpr(lambda x: L.qmatmul(x, w8))(small))
+    jp_big = str(jax.make_jaxpr(lambda x: L.qmatmul(x, w8))(big))
+    jp_xla = str(jax.make_jaxpr(lambda x: L.qmatmul(x, w8, backend="xla"))(small))
+    assert "pallas_call" in jp_small          # hybrid: fused dequant kernel
+    assert "pallas_call" not in jp_big        # throughput: int8 MXU
+    assert "pallas_call" not in jp_xla        # pjit fallback stays XLA-only
+
+
+def test_engine_hybrid_params_carry_source(tmp_path):
+    """act_quant engines keep the packed blocks alongside the int8 codes."""
+    from clip_tpu.quantize import quantize_model
+
+    src, _ = tiny_gguf(tmp_path, use_f32=True)
+    qp = str(tmp_path / "tiny.q4_0.gguf")
+    quantize_model(src, qp, "q4_0", verbose=False)
+    eng = ClipEngine(qp, verbosity=0, act_quant=True)
+    w = eng.params["vision"]["layers"]["up_w"]
+    assert isinstance(w, W8Tensor) and w.qt is not None
+    assert w.qt.qtype == w.qtype
+    eng.close()
