@@ -19,7 +19,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.actquant_pallas import actq_pallas, fusable_width, lnq_pallas, w8a8_pre
+from ..ops.actquant_pallas import (
+    fusable_width, gemm_gq_pallas, lnq_pallas, w8a8_pre)
 from ..ops.attention_pallas import flat_eligible, mha_pallas_qkv
 from ..ops.linear import linear
 from ..ops.nn import gelu_quick, gelu_tanh, layernorm, softmax
@@ -186,19 +187,18 @@ def block(x, lp, *, n_head, eps, use_gelu, causal=False,
         and fusable_width(lp["up_w"].shape[0])
     )
     if fuse_mlp:
-        # LN2 + quant in one pass -> int8 up-GEMM -> gelu + quant in one pass
-        # (the [rows, 4H] down-proj input is the model's largest activation:
-        # int8 halves its write bytes) -> int8 down-GEMM
+        # LN2 + quant in one pass -> int8 up-GEMM with the gelu + requant
+        # epilogue fused in VMEM (the [rows, 4H] up output is the model's
+        # largest activation; the unfused pair round-trips it through HBM in
+        # bf16 just to quantize it) -> int8 down-GEMM
         bb, ss, hh = x.shape
         interp = jax.default_backend() != "tpu"
         codes, sx = lnq_pallas(
             x.reshape(bb * ss, hh), lp["ln2_w"], lp["ln2_b"],
             eps=float(eps), interpret=interp)
-        h = w8a8_pre(codes, sx, lp["up_w"], compute_dtype)
-        h = h + lp["up_b"].astype(h.dtype)
-        codes, sx = actq_pallas(
-            h, act="gelu_tanh" if use_gelu else "gelu_quick",
-            interpret=interp)
+        codes, sx = gemm_gq_pallas(
+            codes, sx, lp["up_w"].c8, lp["up_w"].ws, lp["up_b"],
+            act="gelu_tanh" if use_gelu else "gelu_quick", interpret=interp)
         h = w8a8_pre(codes, sx, lp["down_w"], compute_dtype)
         h = h.reshape(bb, ss, -1)
     else:

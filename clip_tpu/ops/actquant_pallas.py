@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .qtensor import W8Tensor
 
-__all__ = ["lnq_pallas", "actq_pallas", "w8a8_pre", "fusable_width"]
+__all__ = ["lnq_pallas", "actq_pallas", "gemm_gq_pallas", "w8a8_pre",
+           "fusable_width"]
 
 _SQRT_2_OVER_PI = 0.7978845608028654
 # VMEM row-block budget (elements).  The kernel's resident set per block is
@@ -153,6 +154,85 @@ def actq_pallas(x, *, act: str = "gelu_quick", block_rows: int | None = None,
         interpret=interpret,
     )(xp)
     return codes[:rows], scales[:rows]
+
+
+def _gemm_block_rows(rows: int, n: int, k: int) -> int:
+    """Row block for gemm_gq: the weight [N, K] int8 is VMEM-resident across
+    the whole grid, and each block carries ~11 B/element of [br, N] state
+    (int32 acc + f32 epilogue copy + int8 out, double-buffered edges).  Budget
+    the pair against a ~13 MB scoped-VMEM target."""
+    budget = 13 * 1024 * 1024 - n * k
+    br = max(8, (budget // (11 * n)) // 8 * 8)
+    rp = -(-rows // 8) * 8
+    return min(br, 256, rp)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("act", "block_rows", "interpret"))
+def gemm_gq_pallas(codes, sx, w8, ws, bias, *, act: str = "gelu_quick",
+                   block_rows: int | None = None, interpret: bool = False):
+    """int8 GEMM with the gelu->int8-requant epilogue fused in VMEM.
+
+    ``codes [M, K] int8`` (per-row scales ``sx [M, 1]`` f32, as produced by
+    :func:`lnq_pallas`) @ ``w8 [N, K] int8`` (per-channel scales ``ws [N]``)
+    + ``bias [N]`` -> gelu -> per-row symmetric int8 -> (codes ``[M, N]``
+    int8, scales ``[M, 1]`` f32).
+
+    This is the up-projection + :func:`actq_pallas` pair in ONE kernel: the
+    [M, 4H] bf16 intermediate — the model's largest activation — never
+    touches HBM (the unfused pair writes it after the dot and reads it all
+    back to quantize; ~0.6 ms/layer of pure bandwidth at B/32 B=448).  The
+    Mosaic int8 dot itself matches XLA's at these shapes
+    (scripts/proto_int8_gemm_rate.py: 2.617 vs 2.616 ms at [22400,768]x
+    [768,3072]), so the round-trip saving is kept.  Epilogue math is f32
+    end-to-end — slightly MORE precise than the unfused pair, whose
+    intermediate rounds through bf16 (tests/test_actquant_fusion.py bounds
+    the agreement).  Accumulation int32: |K*127*127| < 2^31 at CLIP widths.
+    """
+    if act not in ("gelu_quick", "gelu_tanh", "none"):
+        raise ValueError(f"unknown act {act!r}")
+    m, k = codes.shape
+    n = w8.shape[0]
+    br = block_rows or _gemm_block_rows(m, n, k)
+    mp = -(-m // br) * br
+    xp = jnp.pad(codes, ((0, mp - m), (0, 0)))
+    sp = jnp.pad(sx, ((0, mp - m), (0, 0)))
+    ws2 = ws.reshape(1, n)
+    b2 = bias.reshape(1, n)
+
+    def kernel(x_ref, sx_ref, w_ref, ws_ref, b_ref, o_ref, s_ref):
+        acc = jax.lax.dot_general(
+            x_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * sx_ref[:] * ws_ref[0, :] + b_ref[0, :]
+        if act == "gelu_quick":
+            y = y * jax.lax.logistic(1.702 * y)
+        elif act == "gelu_tanh":
+            y = 0.5 * y * (1.0 + jnp.tanh(
+                _SQRT_2_OVER_PI * (y + 0.044715 * y * y * y)))
+        codes_b, sx_b = _quantize_rows(y)
+        o_ref[:] = codes_b
+        s_ref[:] = sx_b
+
+    out, scales = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((mp, n), jnp.int8),
+                   jax.ShapeDtypeStruct((mp, 1), jnp.float32)),
+        grid=(mp // br,),
+        in_specs=[
+            pl.BlockSpec((br, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((br, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(xp, sp, w8, ws2, b2)
+    return out[:m], scales[:m]
 
 
 def w8a8_pre(codes, sx, w: W8Tensor, compute_dtype=jnp.bfloat16):

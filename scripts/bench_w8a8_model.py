@@ -77,11 +77,33 @@ def main():
         del params
         return dt
 
+    # arm that reverts the fused up-GEMM epilogue to the round-3 unfused
+    # pair (int8 dot -> bf16 -> actq_pallas), for in-window attribution of
+    # gemm_gq_pallas specifically
+    from clip_tpu.models import transformer as tmod
+    from clip_tpu.ops.actquant_pallas import actq_pallas, w8a8_pre
+    from clip_tpu.ops.qtensor import W8Tensor
+
+    real_gemm_gq = tmod.gemm_gq_pallas
+
+    def unfused_pair(codes, sx, c8, ws, bias, *, act, interpret=False):
+        w = W8Tensor(c8=c8, ws=ws, qtype="w8")
+        h = w8a8_pre(codes, sx, w, jnp.bfloat16) + bias.astype(jnp.bfloat16)
+        return actq_pallas(h, act=act, interpret=interpret)
+
+    def run_lnq_pair(name, params):
+        tmod.gemm_gq_pallas = unfused_pair
+        try:
+            return run_one(name, params, lnq_fuse=True)
+        finally:
+            tmod.gemm_gq_pallas = real_gemm_gq
+
     run_one("q4_bf16", pq)
     run_one("q4_w8a8", pw8)
-    run_one("w8+lnq", pw8, lnq_fuse=True)
+    run_lnq_pair("lnq_pair", pw8)
+    run_one("lnq_gemm", pw8, lnq_fuse=True)
     run_one("dense", pdense)
-    run_one("q4_w8a8b", pw8)  # drift check
+    run_lnq_pair("lnq_pairb", pw8)  # drift check
 
 
 if __name__ == "__main__":
