@@ -43,8 +43,6 @@ from .tokenizer import ClipTokenizer
 from .utils import enable_compile_cache, log
 
 _BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
-# fused-producer width rule (measured, see ClipEngine lnq_fuse comment)
-_LNQ_MAX_HIDDEN = 768
 
 
 def _bucket(n: int) -> int:
@@ -164,19 +162,28 @@ class ClipEngine:
         # Fused Pallas LN/gelu->int8-quant feeding the int8 GEMMs
         # (ops.actquant_pallas): the producer pass emits codes + scales
         # directly, so w8a8's separate amax pass and the bf16 round-trip of
-        # each GEMM input disappear — measured +8.5% at ViT-B/32 B=448 and
-        # +10% at B/16, but LOSING 7-12% at hidden >= 1024 (L/14 859 vs 964,
-        # L/14-336 375 vs 428, H/14 539 vs 578 img/s — in-window A/Bs,
-        # scripts/bench_w8a8_model.py round 3: XLA fuses residual+LN+quant
-        # into one pass on its own, and at wide H the pallas producer's
-        # fusion barrier costs more than the amax pass it removes).  Auto:
-        # per-tower, on for hidden <= _LNQ_MAX_HIDDEN when W8A8 runs real
-        # TPU kernels; explicit lnq_fuse=True forces it on everywhere; CPU
-        # keeps the XLA-exact path (interpret kernels are test-only).
+        # each GEMM input disappear.  History: before the gemm_gq epilogue
+        # (fused int8-GEMM + gelu->requant) landed, producers LOST 7-12% at
+        # hidden >= 1024; with the up-GEMM's [rows, 4H] output kept in VMEM
+        # the fused path now wins at every vision width (in-window A/Bs,
+        # scripts/bench_w8a8_model.py: L/14 1009 vs 983 unfused img/s, H/14
+        # 54.40 vs 55.30 ms, L/14-336 66.91 vs 73.53 ms).  The TEXT tower is
+        # the exception: its short-S flat blocks don't amortize the LN
+        # producer boundary (18.2k -> 14.8k texts/s) — it instead takes the
+        # up_gq split below.  Auto: vision towers when W8A8 runs real TPU
+        # kernels; explicit lnq_fuse=True forces it on everywhere; CPU keeps
+        # the XLA-exact path (interpret kernels are test-only).
         self._lnq_forced = lnq_fuse is True
         if lnq_fuse is None:
             lnq_fuse = self.act_quant and jax.default_backend() == "tpu"
         self.lnq_fuse = bool(lnq_fuse) and self.act_quant
+        # up_gq: XLA-level LN + row quant (one fused HBM pass) feeding the
+        # gemm_gq up-GEMM — the MLP's wide intermediate still never leaves
+        # VMEM but the producer boundary disappears.  Measured on the text
+        # tower: 14.00 -> 13.22 ms at B=256 (18,281 -> 19,364 texts/s,
+        # scripts/bench_text.py in-window).  Engaged wherever W8A8 runs TPU
+        # kernels and the lnq producers are off for the tower.
+        self.up_gq = self.act_quant and jax.default_backend() == "tpu"
 
         self.mesh = mesh
         if mesh is None and use_mesh and len(jax.devices()) > 1:
@@ -220,9 +227,11 @@ class ClipEngine:
             else:
                 # pjit cannot partition Pallas custom calls: any 'auto' route
                 # into the fused qmatmul would crash (or silently gather) on
-                # real multi-chip hardware; same for the fused LN->quant
+                # real multi-chip hardware; same for the fused LN->quant and
+                # the gemm_gq up-GEMM
                 self._qmm_backend = "xla"
                 self.lnq_fuse = False
+                self.up_gq = False
             params = pmesh.shard_params(params, self.mesh)
         else:
             params = jax.device_put(params)
@@ -282,16 +291,24 @@ class ClipEngine:
 
     def _tower_lnq(self, tower_cfg, kind: str) -> bool:
         """Per-tower fused-producer decision (measured rule, see the
-        lnq_fuse comment in __init__): vision towers at hidden <= 768 win
-        (+8.5%/+10%); wide vision towers lose 7-12%; the TEXT tower loses
-        even at H=512 (18.2k -> 14.8k texts/s, scripts/bench_text.py) — its
-        short-S flat blocks don't amortize the producer boundary.  Explicit
-        lnq_fuse=True forces it on everywhere."""
+        lnq_fuse comment in __init__): with the gemm_gq epilogue, every
+        vision width wins (B/32 +8.5%, L/14 1009 vs 983, H/14 588 vs 579,
+        L/14-336 478 vs 435 img/s); the TEXT tower loses even at H=512
+        (18.2k -> 14.8k texts/s, scripts/bench_text.py) — its short-S flat
+        blocks don't amortize the producer boundary, so it takes up_gq
+        instead.  Explicit lnq_fuse=True forces it on everywhere."""
         if not self.lnq_fuse:
             return False
         if self._lnq_forced:
             return True
-        return kind == "vision" and tower_cfg.hidden_size <= _LNQ_MAX_HIDDEN
+        return kind == "vision"
+
+    def _tower_upgq(self, tower_cfg, kind: str) -> bool:
+        """XLA-quant + fused up-GEMM split, for towers where the lnq
+        producers are off (measured: text 14.00 -> 13.22 ms at B=256,
+        scripts/bench_text.py).  Dominated by the full lnq path wherever
+        that engages, so it only fires when _tower_lnq says no."""
+        return self.up_gq and not self._tower_lnq(tower_cfg, kind)
 
     # -- hparams (clip_get_text_hparams / clip_get_vision_hparams) ----------
 
@@ -393,6 +410,7 @@ class ClipEngine:
                     qmm_backend=self._qmm_backend,
                     tp_axis=self._tp_axis,
                     lnq_fuse=self._tower_lnq(cfg.text, "text"),
+                    up_gq=self._tower_upgq(cfg.text, "text"),
                 )
 
             self._jit_cache[key] = self._wrap(
@@ -414,6 +432,7 @@ class ClipEngine:
                     qmm_backend=self._qmm_backend,
                     tp_axis=self._tp_axis,
                     lnq_fuse=self._tower_lnq(cfg.vision, "vision"),
+                    up_gq=self._tower_upgq(cfg.vision, "vision"),
                 )
 
             self._jit_cache[key] = self._wrap(fn, "vision", self._batch_spec(4))
@@ -443,6 +462,7 @@ class ClipEngine:
                     qmm_backend=self._qmm_backend,
                     tp_axis=self._tp_axis,
                     lnq_fuse=self._tower_lnq(cfg.vision, "vision"),
+                    up_gq=self._tower_upgq(cfg.vision, "vision"),
                 )
 
             self._jit_cache[key] = self._wrap(fn, "vision", self._batch_spec(4))

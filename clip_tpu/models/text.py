@@ -37,6 +37,7 @@ def encode_text(
     qmm_backend: str | None = None,
     tp_axis: str | None = None,
     lnq_fuse: bool = False,
+    up_gq: bool = False,
 ) -> jnp.ndarray:
     b, s = token_ids.shape
 
@@ -71,6 +72,7 @@ def encode_text(
         qmm_backend=qmm_backend,
         tp_axis=tp_axis,
         lnq_fuse=lnq_fuse,
+        up_gq=up_gq,
     )
 
     x = layernorm(x, params["post_ln_w"], params["post_ln_b"], cfg.eps)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..ops.actquant_pallas import (
     fusable_width, gemm_gq_pallas, lnq_pallas, w8a8_pre)
 from ..ops.attention_pallas import flat_eligible, mha_pallas_qkv
-from ..ops.linear import linear
+from ..ops.linear import linear, quant_rows
 from ..ops.nn import gelu_quick, gelu_tanh, layernorm, softmax
 from ..ops.qtensor import W8Tensor
 
@@ -172,7 +172,7 @@ def attention(
 def block(x, lp, *, n_head, eps, use_gelu, causal=False,
           compute_dtype=jnp.float32, attn_impl="auto",
           qmm_backend=None, tp_axis=None, valid_len=None,
-          lnq_fuse=False):
+          lnq_fuse=False, up_gq=False):
     x = x + attention(x, lp, n_head=n_head, causal=causal,
                       compute_dtype=compute_dtype, attn_impl=attn_impl,
                       qmm_backend=qmm_backend, tp_axis=tp_axis,
@@ -201,6 +201,28 @@ def block(x, lp, *, n_head, eps, use_gelu, causal=False,
             act="gelu_tanh" if use_gelu else "gelu_quick", interpret=interp)
         h = w8a8_pre(codes, sx, lp["down_w"], compute_dtype)
         h = h.reshape(bb, ss, -1)
+    elif (
+        up_gq
+        and isinstance(lp["up_w"], W8Tensor)
+        and isinstance(lp["down_w"], W8Tensor)
+        and fusable_width(x.shape[-1])
+        and fusable_width(lp["up_w"].shape[0])
+    ):
+        # wide-tower variant (lnq producers off per the width rule): LN and
+        # the activation quant stay at the XLA level — XLA fuses residual +
+        # LN + amax + quantize into one HBM pass, which is exactly what the
+        # Pallas LN producer broke at H >= 1024 — but the up GEMM still runs
+        # gemm_gq_pallas, so the [rows, 4H] bf16 up output (the model's
+        # largest activation, 4096/5120 wide here) never round-trips HBM
+        bb, ss, hh = x.shape
+        interp = jax.default_backend() != "tpu"
+        h = layernorm(x, lp["ln2_w"], lp["ln2_b"], eps)
+        codes, sx = quant_rows(h.reshape(bb * ss, hh))
+        codes, sx = gemm_gq_pallas(
+            codes, sx, lp["up_w"].c8, lp["up_w"].ws, lp["up_b"],
+            act="gelu_tanh" if use_gelu else "gelu_quick", interpret=interp)
+        h = w8a8_pre(codes, sx, lp["down_w"], compute_dtype)
+        h = h.reshape(bb, ss, -1)
     else:
         h = layernorm(x, lp["ln2_w"], lp["ln2_b"], eps)
         h = linear(h, lp["up_w"], lp["up_b"], compute_dtype=compute_dtype,
@@ -218,7 +240,7 @@ def block(x, lp, *, n_head, eps, use_gelu, causal=False,
 def run_blocks(x, layers, *, n_head, eps, use_gelu, causal=False,
                compute_dtype=jnp.float32, attn_impl="auto", unroll=False,
                qmm_backend=None, tp_axis=None, valid_len=None,
-               lnq_fuse=False):
+               lnq_fuse=False, up_gq=False):
     """Run the transformer stack; ``layers`` leaves carry a leading L axis.
 
     ``unroll=True`` emits a Python loop instead of ``lax.scan``: each layer's
@@ -230,7 +252,7 @@ def run_blocks(x, layers, *, n_head, eps, use_gelu, causal=False,
         block, n_head=n_head, eps=eps, use_gelu=use_gelu, causal=causal,
         compute_dtype=compute_dtype, attn_impl=attn_impl,
         qmm_backend=qmm_backend, tp_axis=tp_axis, valid_len=valid_len,
-        lnq_fuse=lnq_fuse,
+        lnq_fuse=lnq_fuse, up_gq=up_gq,
     )
 
     if unroll:

@@ -55,6 +55,7 @@ def encode_image(
     qmm_backend: str | None = None,
     tp_axis: str | None = None,
     lnq_fuse: bool = False,
+    up_gq: bool = False,
 ) -> jnp.ndarray:
     b = pixels.shape[0]
     p = cfg.patch_size
@@ -119,6 +120,7 @@ def encode_image(
         tp_axis=tp_axis,
         valid_len=valid_len,
         lnq_fuse=lnq_fuse,
+        up_gq=up_gq,
     )
 
     pooled = x[:, 0, :]  # CLS (clip.cpp:1426-1430)

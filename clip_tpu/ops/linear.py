@@ -31,6 +31,19 @@ _DEFAULT_BACKEND = "auto"
 _PALLAS_MAX_ROWS = 2048
 
 
+def quant_rows(x: jnp.ndarray):
+    """Per-row symmetric int8 quantization at the XLA level: ``[M, K]`` ->
+    (codes int8, scales f32 ``[M, 1]``).  amax/127 math identical to the
+    Pallas producers (``ops.actquant_pallas``) so every path agrees.  XLA
+    fuses the scale/round/clip into the producer chain (e.g. layernorm);
+    the amax is one extra reduce pass over the activation."""
+    x2 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x2), axis=-1, keepdims=True)
+    sx = amax / 127.0 + 1e-12
+    codes = jnp.clip(jnp.round(x2 / sx), -127, 127).astype(jnp.int8)
+    return codes, sx
+
+
 def w8a8_matmul(x: jnp.ndarray, w: W8Tensor, compute_dtype=None) -> jnp.ndarray:
     """``x [..., K] @ (w.c8 * w.ws).T`` on the int8 MXU.
 
@@ -53,10 +66,7 @@ def w8a8_matmul(x: jnp.ndarray, w: W8Tensor, compute_dtype=None) -> jnp.ndarray:
     m = 1
     for d in lead:
         m *= d
-    x2 = x.reshape(m, k).astype(jnp.float32)
-    amax = jnp.max(jnp.abs(x2), axis=1, keepdims=True)
-    sx = amax / 127.0 + 1e-12
-    x8 = jnp.clip(jnp.round(x2 / sx), -127, 127).astype(jnp.int8)
+    x8, sx = quant_rows(x.reshape(m, k))
     acc = jax.lax.dot_general(
         x8, w.c8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * sx * w.ws[None, :]

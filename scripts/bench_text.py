@@ -79,6 +79,7 @@ def main():
     run_one("q4_bf16", pq)
     run_one("q4_w8a8", pw8)
     run_one("w8+lnq", pw8, lnq_fuse=True)  # H=512: the width rule's low end
+    run_one("up_gq", pw8, up_gq=True)  # XLA quant + fused up-GEMM only
     run_one("dense", pdense)
     run_one("q4_w8a8b", pw8)  # drift check
 

@@ -59,10 +59,9 @@ def bench(variant: str) -> tuple[float, float]:
     fn = jax.jit(functools.partial(
         encode_image, cfg=cfg.vision, use_gelu=cfg.use_gelu,
         normalize=True, compute_dtype=jnp.bfloat16,
-        # fused producers: the engine's measured width rule (wins at
-        # hidden <= 768, loses 7-12% at >= 1024 — engine._LNQ_MAX_HIDDEN)
-        lnq_fuse=jax.default_backend() == "tpu"
-        and cfg.vision.hidden_size <= 768))
+        # fused producers: with the gemm_gq epilogue the fused path wins at
+        # every vision width (engine._tower_lnq) — mirror the engine default
+        lnq_fuse=jax.default_backend() == "tpu"))
     out = fn(params, pixels=px)
     float(jnp.sum(out))
     ts = []

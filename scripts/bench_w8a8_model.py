@@ -102,6 +102,7 @@ def main():
     run_one("q4_w8a8", pw8)
     run_lnq_pair("lnq_pair", pw8)
     run_one("lnq_gemm", pw8, lnq_fuse=True)
+    run_one("up_gq", pw8, up_gq=True)
     run_one("dense", pdense)
     run_lnq_pair("lnq_pairb", pw8)  # drift check
 

@@ -133,6 +133,30 @@ def test_block_fused_matches_unfused(rng, use_gelu):
         np.asarray(out), np.asarray(ref), rtol=1e-2, atol=1e-2)
 
 
+def test_block_up_gq_matches_unfused(rng):
+    """Wide-tower variant (lnq producers off, up_gq on): the MLP's up GEMM
+    runs gemm_gq_pallas off an XLA-level row quant.  Must agree with the
+    plain W8A8 block within int8 tie bounds, and gate itself off bit-exactly
+    for dense weights."""
+    h, f = 256, 1024
+    lp = _layer_params(rng, h, f)
+    for k in ("qkv_w", "o_w", "up_w", "down_w"):
+        lp[k] = to_w8tensor(lp[k])
+    x = jnp.asarray(rng.normal(0, 1, (2, 10, h)), jnp.float32)
+    kw = dict(n_head=4, eps=EPS, use_gelu=True,
+              compute_dtype=jnp.float32, attn_impl="xla")
+    ref = transformer.block(x, lp, **kw)
+    out = transformer.block(x, lp, up_gq=True, **kw)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-2, atol=1e-2)
+
+    # dense weights: up_gq must be ignored (identical unfused path)
+    lpd = _layer_params(np.random.default_rng(1), h, f)
+    a = transformer.block(x, lpd, up_gq=True, **kw)
+    b = transformer.block(x, lpd, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_block_fused_gates_off_dense_and_narrow(rng):
     """Dense weights, or widths that don't tile the 128-lane registers,
     must take the identical unfused path (bit-exact)."""
