@@ -77,8 +77,6 @@ def lnq_pallas(x, w, b, *, eps: float, block_rows: int | None = None,
     """
     rows, h = x.shape
     br = block_rows or _block_rows(rows, h, _ROW_BUDGET)
-    rp = -(-rows // br) * br
-    xp = jnp.pad(x, ((0, rp - rows), (0, 0)))
     w2 = w.reshape(1, h)
     b2 = b.reshape(1, h)
 
@@ -93,11 +91,15 @@ def lnq_pallas(x, w, b, *, eps: float, block_rows: int | None = None,
         o_ref[:] = codes
         s_ref[:] = sx
 
-    codes, scales = pl.pallas_call(
+    # ragged grid: Mosaic masks the tail block's stores itself, so the rows
+    # need not divide br — no XLA-level pad of the input nor slice of the
+    # outputs (at B/32 B=448 those pads were 24 ops / ~6.1 ms of compiler-
+    # estimated time in the unrolled program)
+    return pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((rp, h), jnp.int8),
-                   jax.ShapeDtypeStruct((rp, 1), jnp.float32)),
-        grid=(rp // br,),
+        out_shape=(jax.ShapeDtypeStruct((rows, h), jnp.int8),
+                   jax.ShapeDtypeStruct((rows, 1), jnp.float32)),
+        grid=(pl.cdiv(rows, br),),
         in_specs=[
             pl.BlockSpec((br, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -108,8 +110,7 @@ def lnq_pallas(x, w, b, *, eps: float, block_rows: int | None = None,
             pl.BlockSpec((br, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(xp, w2, b2)
-    return codes[:rows], scales[:rows]
+    )(x, w2, b2)
 
 
 @functools.partial(
@@ -127,8 +128,6 @@ def actq_pallas(x, *, act: str = "gelu_quick", block_rows: int | None = None,
         raise ValueError(f"unknown act {act!r}")
     rows, h = x.shape
     br = block_rows or _block_rows(rows, h, _ROW_BUDGET)
-    rp = -(-rows // br) * br
-    xp = jnp.pad(x, ((0, rp - rows), (0, 0)))
 
     def kernel(x_ref, o_ref, s_ref):
         y = x_ref[:].astype(jnp.float32)
@@ -140,11 +139,12 @@ def actq_pallas(x, *, act: str = "gelu_quick", block_rows: int | None = None,
         o_ref[:] = codes
         s_ref[:] = sx
 
-    codes, scales = pl.pallas_call(
+    # ragged grid (see lnq_pallas): Mosaic masks the tail block itself
+    return pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((rp, h), jnp.int8),
-                   jax.ShapeDtypeStruct((rp, 1), jnp.float32)),
-        grid=(rp // br,),
+        out_shape=(jax.ShapeDtypeStruct((rows, h), jnp.int8),
+                   jax.ShapeDtypeStruct((rows, 1), jnp.float32)),
+        grid=(pl.cdiv(rows, br),),
         in_specs=[pl.BlockSpec((br, h), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(
@@ -152,8 +152,7 @@ def actq_pallas(x, *, act: str = "gelu_quick", block_rows: int | None = None,
             pl.BlockSpec((br, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(xp)
-    return codes[:rows], scales[:rows]
+    )(x)
 
 
 def _gemm_block_rows(rows: int, n: int, k: int) -> int:
@@ -194,9 +193,6 @@ def gemm_gq_pallas(codes, sx, w8, ws, bias, *, act: str = "gelu_quick",
     m, k = codes.shape
     n = w8.shape[0]
     br = block_rows or _gemm_block_rows(m, n, k)
-    mp = -(-m // br) * br
-    xp = jnp.pad(codes, ((0, mp - m), (0, 0)))
-    sp = jnp.pad(sx, ((0, mp - m), (0, 0)))
     ws2 = ws.reshape(1, n)
     b2 = bias.reshape(1, n)
 
@@ -214,11 +210,14 @@ def gemm_gq_pallas(codes, sx, w8, ws, bias, *, act: str = "gelu_quick",
         o_ref[:] = codes_b
         s_ref[:] = sx_b
 
-    out, scales = pl.pallas_call(
+    # ragged grid (see lnq_pallas): the tail block reads garbage rows past
+    # the array end (int8 — no NaN risk) and its stores are masked, so the
+    # XLA pad of codes+scales and the slice of the outputs disappear
+    return pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((mp, n), jnp.int8),
-                   jax.ShapeDtypeStruct((mp, 1), jnp.float32)),
-        grid=(mp // br,),
+        out_shape=(jax.ShapeDtypeStruct((m, n), jnp.int8),
+                   jax.ShapeDtypeStruct((m, 1), jnp.float32)),
+        grid=(pl.cdiv(m, br),),
         in_specs=[
             pl.BlockSpec((br, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((br, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -231,8 +230,7 @@ def gemm_gq_pallas(codes, sx, w8, ws, bias, *, act: str = "gelu_quick",
             pl.BlockSpec((br, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(xp, sp, w8, ws2, b2)
-    return out[:m], scales[:m]
+    )(codes, sx, w8, ws2, b2)
 
 
 def w8a8_pre(codes, sx, w: W8Tensor, compute_dtype=jnp.bfloat16):

@@ -111,6 +111,37 @@ def test_gemm_gq_matches_unfused(rng, act):
     assert np.abs(np.asarray(cf, np.int32) - c_ref.astype(np.int32)).max() <= 1
 
 
+def test_ragged_blocking_invariance(rng):
+    """The kernels run a ragged grid (Mosaic masks the tail block's stores;
+    no XLA-level pad/slice — at B/32 B=448 those pads were 24 ops of the
+    unrolled program).  Row math is per-row, so results must be BIT-equal
+    across any block_rows choice, dividing or not."""
+    from clip_tpu.ops.actquant_pallas import gemm_gq_pallas
+
+    rows, h, n = 104, 256, 512
+    x = jnp.asarray(rng.normal(0, 1.5, (rows, h)), jnp.float32)
+    w = jnp.asarray(rng.normal(1, 0.1, h), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.1, h), jnp.float32)
+    c1, s1 = lnq_pallas(x, w, b, eps=EPS, block_rows=48, interpret=INTERP)
+    c2, s2 = lnq_pallas(x, w, b, eps=EPS, block_rows=104, interpret=INTERP)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+    wq = to_w8tensor(jnp.asarray(rng.normal(0, 0.05, (n, h)), jnp.float32))
+    bias = jnp.asarray(rng.normal(0, 0.05, n), jnp.float32)
+    g1, t1 = gemm_gq_pallas(c1, s1, wq.c8, wq.ws, bias, block_rows=48,
+                            interpret=INTERP)
+    g2, t2 = gemm_gq_pallas(c1, s1, wq.c8, wq.ws, bias, block_rows=104,
+                            interpret=INTERP)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+    a1, u1 = actq_pallas(x, block_rows=48, interpret=INTERP)
+    a2, u2 = actq_pallas(x, block_rows=104, interpret=INTERP)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+
+
 @pytest.mark.parametrize("use_gelu", [False, True])
 def test_block_fused_matches_unfused(rng, use_gelu):
     """Full transformer block: lnq_fuse must not change W8A8 numerics beyond
