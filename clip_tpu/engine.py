@@ -101,6 +101,50 @@ def _convert_layers_to_w8(params: dict, include_dense: bool = False) -> dict:
     return out
 
 
+class _LayoutAwareJit:
+    """Single-chip TPU tower dispatch: AOT-compile once per batch shape with
+    AUTO layouts on the batch args, then stage every batch directly in the
+    probed (tiled) device format.
+
+    Why: the jitted vision program otherwise opens with a full relayout copy
+    of the pixel batch from the default {3,2,1,0} layout into the patch-embed
+    dot's preferred one (`copy.6 bf16[448,224,224,3]`, the single largest
+    copy in the B=448 program — ~2.3M estimated cycles).  device_put into
+    the probed format moves that rearrangement to transfer time, which the
+    serving pipeline overlaps via prefetch: 26.12 vs 26.59-26.74 ms/step
+    in-window, bit-identical (scripts/bench_pixel_layout.py).
+
+    Same number of compiles as plain jit (the AOT probe IS the compile).
+    Falls back to jax.jit if the layout API ever refuses (non-TPU quirk)."""
+
+    def __init__(self, fn):
+        self._fn = fn
+        self._cache: dict = {}
+
+    def __call__(self, params, *batch):
+        key = tuple((b.shape, np.dtype(b.dtype).str) for b in batch)
+        entry = self._cache.get(key)
+        if entry is None:
+            try:
+                from jax.experimental.layout import Format, Layout
+
+                specs = [jax.ShapeDtypeStruct(b.shape, b.dtype) for b in batch]
+                compiled = jax.jit(
+                    self._fn,
+                    in_shardings=(None, *([Format(Layout.AUTO)] * len(batch))),
+                ).lower(params, *specs).compile()
+                fmts = compiled.input_formats[0][1:]
+                entry = (compiled, fmts)
+            except Exception:  # pragma: no cover - defensive fallback
+                entry = (jax.jit(self._fn), None)
+            self._cache[key] = entry
+        compiled, fmts = entry
+        if fmts is None:
+            return compiled(params, *batch)
+        staged = [jax.device_put(b, f) for b, f in zip(batch, fmts)]
+        return compiled(params, *staged)
+
+
 class ClipEngine:
     """Load a GGUF CLIP checkpoint and serve text/image embeddings."""
 
@@ -379,6 +423,8 @@ class ClipEngine:
         over the mesh so each shard runs the full single-chip code (Pallas
         kernels included) on its (data-shard, model-shard) slice."""
         if not self._spmd:
+            if jax.default_backend() == "tpu":
+                return _LayoutAwareJit(local_fn)
             return jax.jit(local_fn)
         from jax.sharding import PartitionSpec as P
 
@@ -580,7 +626,11 @@ class ClipEngine:
     def _put_batch(self, x: np.ndarray):
         if self.mesh is not None:
             return pmesh.shard_batch(jnp.asarray(x), self.mesh)
-        return jnp.asarray(x)
+        # single-chip: hand the HOST array straight to the tower wrapper —
+        # _LayoutAwareJit device_puts it into the compiled program's
+        # preferred layout in one hop (committing a default-layout copy
+        # here would force a second, device-to-device relayout)
+        return x
 
     # -- multi-host collective encode -----------------------------------------
     #
