@@ -118,12 +118,9 @@ def main() -> None:
         # the NHWC input (26.12 vs 26.59-26.74 ms in-window, bit-identical —
         # scripts/bench_pixel_layout.py; the engine does the same via
         # _LayoutAwareJit)
-        from jax.experimental.layout import Format, Layout
+        from clip_tpu.engine import aot_layout_staged
 
-        fn = jax.jit(model, in_shardings=(None, Format(Layout.AUTO))).lower(
-            params, jax.ShapeDtypeStruct(host_px.shape, jnp.bfloat16)
-        ).compile()
-        pixels = jax.device_put(host_px, fn.input_formats[0][1])
+        fn, (pixels,) = aot_layout_staged(model, params, host_px)
     else:
         fn = jax.jit(model)
         pixels = jax.device_put(host_px)

@@ -115,11 +115,27 @@ class _LayoutAwareJit:
     in-window, bit-identical (scripts/bench_pixel_layout.py).
 
     Same number of compiles as plain jit (the AOT probe IS the compile).
-    Falls back to jax.jit if the layout API ever refuses (non-TPU quirk)."""
+    Self-correcting against relayout-program dishonesty: staging runs
+    through a jitted identity with ``out_shardings`` (``device_put(x, fmt)``
+    silently commits the wrong layout through the compile-cache relay), and
+    if even THAT identity cannot produce the AUTO-probed layout (observed:
+    requested (1,3,2,0), got (0,3,1,2) — process-state dependent), the model
+    is recompiled pinned to the layout staging actually produces; a pinned
+    operand layout is embedded in the module, so the required/produced pair
+    agrees by construction.  Falls back to jax.jit if the layout API ever
+    refuses (non-TPU quirk)."""
 
     def __init__(self, fn):
         self._fn = fn
         self._cache: dict = {}
+
+    @staticmethod
+    def _same_layouts(a, b) -> bool:
+        return all(
+            tuple(x.layout.major_to_minor) == tuple(y.layout.major_to_minor)
+            and tuple(map(tuple, x.layout.tiling)) == tuple(map(tuple, y.layout.tiling))
+            for x, y in zip(a, b)
+        )
 
     def __call__(self, params, *batch):
         key = tuple((b.shape, np.dtype(b.dtype).str) for b in batch)
@@ -133,16 +149,46 @@ class _LayoutAwareJit:
                     self._fn,
                     in_shardings=(None, *([Format(Layout.AUTO)] * len(batch))),
                 ).lower(params, *specs).compile()
-                fmts = compiled.input_formats[0][1:]
-                entry = (compiled, fmts)
+                fmts = tuple(compiled.input_formats[0][1:])
+                stager = jax.jit(lambda *bs: bs, out_shardings=fmts)
+                staged = stager(*batch)
+                actual = tuple(s.format for s in staged)
+                if not self._same_layouts(actual, fmts):
+                    compiled = jax.jit(
+                        self._fn, in_shardings=(None, *actual),
+                    ).lower(params, *specs).compile()
+                    stager = jax.jit(lambda *bs: bs, out_shardings=actual)
+                entry = (compiled, stager)
             except Exception:  # pragma: no cover - defensive fallback
                 entry = (jax.jit(self._fn), None)
             self._cache[key] = entry
-        compiled, fmts = entry
-        if fmts is None:
+        compiled, stager = entry
+        if stager is None:
             return compiled(params, *batch)
-        staged = [jax.device_put(b, f) for b, f in zip(batch, fmts)]
-        return compiled(params, *staged)
+        return compiled(params, *stager(*batch))
+
+
+def aot_layout_staged(fn, params, *batch):
+    """One-shot form of :class:`_LayoutAwareJit` for benchmark loops:
+    AOT-compile ``fn(params, *batch)`` with AUTO layouts on the batch args,
+    stage the batch arrays into the program's preferred formats ONCE (with
+    the same self-correcting re-pin), and return ``(compiled, staged)`` so
+    the timing loop calls ``compiled(params, *staged)`` with no per-call
+    staging dispatch."""
+    from jax.experimental.layout import Format, Layout
+
+    specs = [jax.ShapeDtypeStruct(b.shape, b.dtype) for b in batch]
+    compiled = jax.jit(
+        fn, in_shardings=(None, *([Format(Layout.AUTO)] * len(batch))),
+    ).lower(params, *specs).compile()
+    fmts = tuple(compiled.input_formats[0][1:])
+    staged = jax.jit(lambda *bs: bs, out_shardings=fmts)(*batch)
+    actual = tuple(s.format for s in staged)
+    if not _LayoutAwareJit._same_layouts(actual, fmts):
+        compiled = jax.jit(
+            fn, in_shardings=(None, *actual),
+        ).lower(params, *specs).compile()
+    return compiled, staged
 
 
 class ClipEngine:

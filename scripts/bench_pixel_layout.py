@@ -93,7 +93,7 @@ def main():
         return ref
 
     px_default = jax.device_put(host_px)
-    px_tiled = jax.device_put(host_px, fmt)
+    px_tiled = jax.jit(lambda x: x, out_shardings=fmt)(host_px)
 
     a = run_one("default", px_default)
     b = run_one("tiled", px_tiled)

@@ -51,24 +51,35 @@ def bench(variant: str) -> tuple[float, float]:
     params = jax.device_put(_convert_layers_to_w8(
         load_params(reader, cfg, keep_quantized=True, dtype=jnp.bfloat16))["vision"])
     b = BATCHES[variant]
-    px = jax.device_put(np.random.default_rng(0).normal(
+    host_px = (np.random.default_rng(0).normal(
         size=(b, cfg.vision.image_size, cfg.vision.image_size, 3))
         .astype(np.float32).astype(jnp.bfloat16))  # host-staged, bit-identical
+
     # scan (the engine default): with W8A8, scan beat unroll on B/32 (31.1 vs
     # 32.6 ms) and each unroll compile costs minutes through the relay
-    fn = jax.jit(functools.partial(
-        encode_image, cfg=cfg.vision, use_gelu=cfg.use_gelu,
-        normalize=True, compute_dtype=jnp.bfloat16,
-        # fused producers: with the gemm_gq epilogue the fused path wins at
-        # every vision width (engine._tower_lnq) — mirror the engine default
-        lnq_fuse=jax.default_backend() == "tpu"))
-    out = fn(params, pixels=px)
+    def model(params, pixels):
+        return encode_image(
+            params, cfg.vision, pixels, use_gelu=cfg.use_gelu,
+            normalize=True, compute_dtype=jnp.bfloat16,
+            # fused producers: with the gemm_gq epilogue the fused path wins
+            # at every vision width (engine._tower_lnq) — mirror the engine
+            lnq_fuse=jax.default_backend() == "tpu")
+
+    if jax.default_backend() == "tpu":
+        # layout-staged pixels, mirroring engine._LayoutAwareJit / bench.py
+        from clip_tpu.engine import aot_layout_staged
+
+        fn, (px,) = aot_layout_staged(model, params, host_px)
+    else:
+        fn = jax.jit(model)
+        px = jax.device_put(host_px)
+    out = fn(params, px)
     float(jnp.sum(out))
     ts = []
     for _ in range(4):
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            out = fn(params, pixels=px)
+            out = fn(params, px)
         float(jnp.sum(out))
         ts.append((time.perf_counter() - t0) / ITERS)
     ms = min(ts) * 1e3
