@@ -40,9 +40,12 @@ ITERS = 30
 
 @functools.partial(jax.jit, static_argnames=("eps", "block_rows"))
 def lnq_pallas_t(x, w, b, *, eps: float, block_rows: int | None = None):
-    """lnq_pallas variant emitting scales as [1, M] (lane-oriented)."""
+    """lnq_pallas variant emitting scales as [1, M] (lane-oriented).
+
+    The scale block is (1, br), so br must tile the 128-wide lanes —
+    round the default row block down to a multiple of 128."""
     rows, h = x.shape
-    br = block_rows or _block_rows(rows, h, _ROW_BUDGET)
+    br = block_rows or max(128, (_block_rows(rows, h, _ROW_BUDGET) // 128) * 128)
     w2 = w.reshape(1, h)
     b2 = b.reshape(1, h)
 
