@@ -7,8 +7,9 @@ Protocol
 --------
 * synthetic q4_0 ViT-B/32 vision-only GGUF (random weights — zero-egress env;
   identical shapes/compute to the real checkpoint),
-* quantized weights resident in HBM, bf16 compute, batch 448 (swept 256-512:
-  the throughput knee is at 448; 512 falls off a scheduling cliff),
+* quantized weights resident in HBM, bf16 compute, batch 384 (re-swept
+  256-640 after the ragged kernels: 384 divides the gemm_gq 256-row blocks
+  exactly and beats 448 in-window; 512+ falls off a scheduling cliff),
 * steady-state: 2 warmup rounds then median of 5 timed rounds of 10 encodes;
   each round ends with a host readback of a scalar reduction (the axon relay's
   block_until_ready is unreliable for full sync, so readback is the barrier).
@@ -33,7 +34,9 @@ import sys
 import time
 
 BASELINE_IMAGES_PER_SEC = 20.0
-BATCH = 448
+BATCH = 384  # knee re-swept after the ragged kernels: 384 divides the gemm_gq
+             # 256-row blocks exactly (no tail) and wins 17,955-17,969 vs
+             # 17,683-17,727 img/s at 448, in-window (.cache/round3/b32_knee.log)
 ITERS_PER_ROUND = 20   # deep dispatch pipeline: hides the relay's per-call cost
 ROUNDS = 5
 

@@ -27,7 +27,7 @@ from clip_tpu.utils import enable_compile_cache
 
 # per-variant throughput-knee batches (round-2 sweeps on v6e-class chip)
 BATCHES = {
-    "ViT-B/32": 448,
+    "ViT-B/32": 384,  # ragged re-sweep: divides the 256-row gemm_gq blocks
     "ViT-B/16": 192,
     "ViT-L/14": 192,  # round-3 re-sweep: 977 vs 960 at 128 (in-window)
     "ViT-L/14-336": 32,
