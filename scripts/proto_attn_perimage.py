@@ -1,0 +1,185 @@
+"""Prototype: per-image attention scores vs the stacked block-diagonal flat kernel.
+
+The production flat kernel (`ops/attention_pallas._qkv_kernel_flat`) stacks
+``bb`` images into one [bb*S, bb*S] score matrix and masks the off-diagonal
+blocks.  At ViT-B/32 (S=50, bb=4) that computes 4x the useful score MACs and
+~2x the useful exp lanes ([200,256] padded f32 vs 4x[56,128]); PERF_NOTES
+round-3 pegs the attention kernel at ~3x its bandwidth floor "on VPU softmax
++ small-dot work".  This prototype races kernels whose score tensor is
+per-image — [bb, S, S] — so the wasted MACs/exps disappear:
+
+  prod        production mha_pallas_qkv (stacked, block-diag bias)
+  loop[bb]    per-image unrolled loop: static row slices of the stacked
+              block, [S,dh]x[dh,S] dots per image per head
+  batch[bb]   in-kernel reshape to [bb,S,dh], ONE batched dot_general per
+              head ([bb,S,S] scores), batched softmax, batched value mix
+
+Because per-image scores carry no cross-image waste, bb can grow past the
+production 448-row cap — the sweep includes bb well above prod's choice.
+
+Run:  python scripts/proto_attn_perimage.py [B S H NH]
+      defaults: the ViT-B/32 headline shape 384 50 768 12.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from clip_tpu.ops.attention_pallas import mha_pallas_qkv
+from clip_tpu.utils import enable_compile_cache
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 384
+S = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+H = int(sys.argv[3]) if len(sys.argv) > 3 else 768
+NH = int(sys.argv[4]) if len(sys.argv) > 4 else 12
+DH = H // NH
+SCALE = 1.0 / DH ** 0.5
+CAUSAL = False
+ITERS = 50
+
+
+def _bias_1img(causal: bool) -> jnp.ndarray:
+    """[S, S] f32 additive mask for one image (no key padding here: the
+    proto feeds exact-S inputs; valid_len masking composes the same way)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    invalid = jnp.zeros((S, S), jnp.bool_)
+    if causal:
+        invalid = cols > rows
+    return jnp.where(invalid, -1e9, 0.0).astype(jnp.float32)
+
+
+def _kernel_loop(qkv_ref, o_ref, *, bb):
+    ct = (((1,), (1,)), ((), ()))
+    cn = (((1,), (0,)), ((), ()))
+    bias = _bias_1img(CAUSAL)
+    for hd in range(NH):
+        qs = slice(hd * DH, (hd + 1) * DH)
+        ks = slice(H + hd * DH, H + (hd + 1) * DH)
+        vs = slice(2 * H + hd * DH, 2 * H + (hd + 1) * DH)
+        for i in range(bb):
+            r = slice(i * S, (i + 1) * S)
+            qh = qkv_ref[r, qs] * jnp.asarray(SCALE, qkv_ref.dtype)
+            kh = qkv_ref[r, ks]
+            vh = qkv_ref[r, vs]
+            sc = jax.lax.dot_general(qh, kh, ct, preferred_element_type=jnp.float32)
+            sc = sc + bias
+            sc = sc - jnp.max(sc, axis=-1, keepdims=True)
+            p = jnp.exp(sc)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            out = jax.lax.dot_general(p.astype(qkv_ref.dtype), vh, cn,
+                                      preferred_element_type=jnp.float32)
+            o_ref[r, qs] = out.astype(o_ref.dtype)
+
+
+def _kernel_batch(qkv_ref, o_ref, *, bb):
+    # batched dims: contract dh, batch over images
+    ct = (((2,), (2,)), ((0,), (0,)))   # [bb,S,dh] x [bb,S,dh] -> [bb,S,S]
+    cn = (((2,), (1,)), ((0,), (0,)))   # [bb,S,S] x [bb,S,dh] -> [bb,S,dh]
+    bias = _bias_1img(CAUSAL)[None]
+    for hd in range(NH):
+        qs = slice(hd * DH, (hd + 1) * DH)
+        ks = slice(H + hd * DH, H + (hd + 1) * DH)
+        vs = slice(2 * H + hd * DH, 2 * H + (hd + 1) * DH)
+        qh = (qkv_ref[:, qs] * jnp.asarray(SCALE, qkv_ref.dtype)).reshape(bb, S, DH)
+        kh = qkv_ref[:, ks].reshape(bb, S, DH)
+        vh = qkv_ref[:, vs].reshape(bb, S, DH)
+        sc = jax.lax.dot_general(qh, kh, ct, preferred_element_type=jnp.float32)
+        sc = sc + bias
+        sc = sc - jnp.max(sc, axis=-1, keepdims=True)
+        p = jnp.exp(sc)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(p.astype(qkv_ref.dtype), vh, cn,
+                                  preferred_element_type=jnp.float32)
+        o_ref[:, qs] = out.astype(o_ref.dtype).reshape(bb * S, DH)
+
+
+@functools.partial(jax.jit, static_argnames=("bb", "which"))
+def perimage(qkv2, *, bb: int, which: str):
+    rows = qkv2.shape[0]
+    b = rows // S
+    b_pad = -(-b // bb) * bb
+    if b_pad != b:
+        qkv2 = jnp.pad(qkv2, ((0, (b_pad - b) * S), (0, 0)))
+    kern = functools.partial(
+        _kernel_loop if which == "loop" else _kernel_batch, bb=bb)
+    rt = bb * S
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b_pad * S, H), qkv2.dtype),
+        grid=(b_pad // bb,),
+        in_specs=[pl.BlockSpec((rt, 3 * H), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((rt, H), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b_pad * S * S * H,
+            bytes_accessed=8 * b_pad * S * H,
+            transcendentals=b_pad * NH * S * S,
+        ),
+    )(qkv2)
+    return out[: b * S]
+
+
+def main():
+    enable_compile_cache()
+    print(f"backend={jax.default_backend()} B={B} S={S} H={H} NH={NH}", flush=True)
+    k = jax.random.PRNGKey(0)
+    qkv = jax.random.normal(k, (B, S, 3 * H), jnp.bfloat16)
+    qkv2 = qkv.reshape(B * S, 3 * H)
+
+    prod = jax.jit(lambda x: mha_pallas_qkv(
+        x, n_head=NH, scale=SCALE, causal=CAUSAL))
+    ref = np.asarray(prod(qkv), np.float32)
+
+    cands = {}
+    for bb in (4, 8, 16, 32):
+        if B % bb:
+            continue
+        for which in ("loop", "batch"):
+            name = f"{which}[{bb}]"
+            f = functools.partial(perimage, bb=bb, which=which)
+            try:
+                got = np.asarray(f(qkv2), np.float32).reshape(B, S, H)
+            except Exception as e:  # Mosaic lowering may reject a form
+                print(f"{name:10s} FAILED: {type(e).__name__}: {str(e)[:120]}",
+                      flush=True)
+                continue
+            d = np.abs(got - ref).max()
+            # prod masks cross-image scores to -1e9 instead of excluding
+            # them: exp() underflow is exact, so outputs should bit-match
+            print(f"{name:10s} max|d| vs prod = {d:.3e}", flush=True)
+            if d < 1e-2:
+                cands[name] = f
+
+    def run_one(name, f, x):
+        out = f(x)
+        float(jnp.sum(out))
+        ts = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                out = f(x)
+            float(jnp.sum(out))
+            ts.append((time.perf_counter() - t0) / ITERS)
+        print(f"{name:10s} {min(ts) * 1e3:7.3f} ms", flush=True)
+
+    run_one("prod", prod, qkv)
+    for name, f in cands.items():
+        run_one(name, f, qkv2)
+    run_one("prod_b", prod, qkv)  # drift check
+
+
+if __name__ == "__main__":
+    main()
