@@ -19,9 +19,25 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "preprocess.cpp")
 _LIB = os.path.join(_DIR, "libclip_tpu_native.so")
+_STAMP = _LIB + ".host"  # ISA fingerprint of the machine that built the .so
 
 _lock = threading.Lock()
 _lib: "ctypes.CDLL | None | bool" = None  # None=untried, False=unavailable
+
+
+def _host_isa() -> str:
+    """Fingerprint of this host's instruction set (the .so is built with
+    -march=native, so a binary from a different microarchitecture can carry
+    illegal instructions — SIGILL at first call, not at dlopen)."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return " ".join(sorted(line.split(":", 1)[1].split()))
+    except OSError:
+        pass
+    import platform
+    return platform.machine()
 
 
 def _build() -> bool:
@@ -31,8 +47,18 @@ def _build() -> bool:
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        with open(_STAMP, "w") as f:
+            f.write(_host_isa())
         return True
     except Exception:
+        return False
+
+
+def _stamp_matches() -> bool:
+    try:
+        with open(_STAMP) as f:
+            return f.read() == _host_isa()
+    except OSError:
         return False
 
 
@@ -43,11 +69,14 @@ def load() -> "ctypes.CDLL | None":
         if _lib is None:
             if not os.path.exists(_SRC):
                 # source missing from a stripped install: use the prebuilt
-                # .so if one exists, else fall back to the numpy path
-                if not os.path.exists(_LIB):
+                # .so ONLY if its build-host ISA stamp matches this machine
+                # (-march=native binaries SIGILL on other microarchitectures)
+                if not os.path.exists(_LIB) or not _stamp_matches():
                     _lib = False
                     return None
-            elif not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            elif (not os.path.exists(_LIB)
+                  or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+                  or not _stamp_matches()):
                 if not _build():
                     _lib = False
                     return None

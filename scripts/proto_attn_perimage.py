@@ -145,22 +145,29 @@ def main():
 
     cands = {}
     for bb in (4, 8, 16, 32):
-        if B % bb:
-            continue
+        # note: perimage pads b up to a multiple of bb, so non-divisible B
+        # is legal — no divisibility skip (ADVICE r3)
         for which in ("loop", "batch"):
             name = f"{which}[{bb}]"
             f = functools.partial(perimage, bb=bb, which=which)
             try:
                 got = np.asarray(f(qkv2), np.float32).reshape(B, S, H)
-            except Exception as e:  # Mosaic lowering may reject a form
-                print(f"{name:10s} FAILED: {type(e).__name__}: {str(e)[:120]}",
-                      flush=True)
+            except Exception as e:
+                # only a Mosaic/XLA rejection is an expected sweep outcome;
+                # host-side bugs must surface, not read as lowering failures
+                msg = f"{type(e).__name__}: {e}"
+                if not any(t in msg for t in
+                           ("Mosaic", "mosaic", "INTERNAL", "UNIMPLEMENTED",
+                            "RESOURCE_EXHAUSTED", "XlaRuntimeError")):
+                    raise
+                print(f"{name:10s} LOWERING-REJECTED: {msg[:120]}", flush=True)
                 continue
             d = np.abs(got - ref).max()
             # prod masks cross-image scores to -1e9 instead of excluding
             # them: exp() underflow is exact, so outputs should bit-match
+            # (the f32 math is identical; 1e-6 allows only readback fuzz)
             print(f"{name:10s} max|d| vs prod = {d:.3e}", flush=True)
-            if d < 1e-2:
+            if d < 1e-6:
                 cands[name] = f
 
     def run_one(name, f, x):
