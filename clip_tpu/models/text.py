@@ -38,6 +38,7 @@ def encode_text(
     tp_axis: str | None = None,
     lnq_fuse: bool = False,
     up_gq: bool = False,
+    mlp_full: bool = True,
 ) -> jnp.ndarray:
     b, s = token_ids.shape
 
@@ -73,6 +74,7 @@ def encode_text(
         tp_axis=tp_axis,
         lnq_fuse=lnq_fuse,
         up_gq=up_gq,
+        mlp_full=mlp_full,
     )
 
     x = layernorm(x, params["post_ln_w"], params["post_ln_b"], cfg.eps)

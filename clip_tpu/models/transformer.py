@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.actquant_pallas import (
-    fusable_width, gemm_gq_pallas, lnq_pallas, w8a8_pre)
+    fusable_width, gemm_gq_pallas, lnq_pallas, mlp_fusable, mlp_gq_pallas,
+    mlp_lnq_pallas, w8a8_pre)
 from ..ops.attention_pallas import flat_eligible, mha_pallas_qkv
 from ..ops.linear import linear, quant_rows
 from ..ops.nn import gelu_quick, gelu_tanh, layernorm, softmax
@@ -172,7 +173,7 @@ def attention(
 def block(x, lp, *, n_head, eps, use_gelu, causal=False,
           compute_dtype=jnp.float32, attn_impl="auto",
           qmm_backend=None, tp_axis=None, valid_len=None,
-          lnq_fuse=False, up_gq=False):
+          lnq_fuse=False, up_gq=False, mlp_full=True):
     x = x + attention(x, lp, n_head=n_head, causal=causal,
                       compute_dtype=compute_dtype, attn_impl=attn_impl,
                       qmm_backend=qmm_backend, tp_axis=tp_axis,
@@ -186,7 +187,26 @@ def block(x, lp, *, n_head, eps, use_gelu, causal=False,
         and fusable_width(x.shape[-1])
         and fusable_width(lp["up_w"].shape[0])
     )
-    if fuse_mlp:
+    act = "gelu_tanh" if use_gelu else "gelu_quick"
+    # whole-MLP fusion: at widths where both int8 weight matrices fit VMEM
+    # (H <= 1024), ONE kernel runs LN/quant -> up-GEMM -> gelu -> requant ->
+    # down-GEMM so neither the LN'd codes nor the [rows, 4H] intermediate
+    # (the model's largest activation) ever leave VMEM.  Bit-identical to
+    # the staged chain (same ops, same order); fall back where the resident
+    # weights exceed the budget (ViT-H/14's 1280x5120).
+    full = mlp_full and fuse_mlp and mlp_fusable(
+        x.shape[-1], lp["up_w"].shape[0])
+    if full:
+        bb, ss, hh = x.shape
+        interp = jax.default_backend() != "tpu"
+        h = mlp_lnq_pallas(
+            x.reshape(bb * ss, hh), lp["ln2_w"], lp["ln2_b"],
+            lp["up_w"].c8, lp["up_w"].ws, lp["up_b"],
+            lp["down_w"].c8, lp["down_w"].ws,
+            eps=float(eps), act=act, interpret=interp,
+            out_dtype=compute_dtype)
+        h = h.reshape(bb, ss, -1)
+    elif fuse_mlp:
         # LN2 + quant in one pass -> int8 up-GEMM with the gelu + requant
         # epilogue fused in VMEM (the [rows, 4H] up output is the model's
         # largest activation; the unfused pair round-trips it through HBM in
@@ -198,7 +218,7 @@ def block(x, lp, *, n_head, eps, use_gelu, causal=False,
             eps=float(eps), interpret=interp)
         codes, sx = gemm_gq_pallas(
             codes, sx, lp["up_w"].c8, lp["up_w"].ws, lp["up_b"],
-            act="gelu_tanh" if use_gelu else "gelu_quick", interpret=interp)
+            act=act, interpret=interp)
         h = w8a8_pre(codes, sx, lp["down_w"], compute_dtype)
         h = h.reshape(bb, ss, -1)
     elif (
@@ -218,10 +238,16 @@ def block(x, lp, *, n_head, eps, use_gelu, causal=False,
         interp = jax.default_backend() != "tpu"
         h = layernorm(x, lp["ln2_w"], lp["ln2_b"], eps)
         codes, sx = quant_rows(h.reshape(bb * ss, hh))
-        codes, sx = gemm_gq_pallas(
-            codes, sx, lp["up_w"].c8, lp["up_w"].ws, lp["up_b"],
-            act="gelu_tanh" if use_gelu else "gelu_quick", interpret=interp)
-        h = w8a8_pre(codes, sx, lp["down_w"], compute_dtype)
+        if mlp_full and mlp_fusable(hh, lp["up_w"].shape[0]):
+            h = mlp_gq_pallas(
+                codes, sx, lp["up_w"].c8, lp["up_w"].ws, lp["up_b"],
+                lp["down_w"].c8, lp["down_w"].ws,
+                act=act, interpret=interp, out_dtype=compute_dtype)
+        else:
+            codes, sx = gemm_gq_pallas(
+                codes, sx, lp["up_w"].c8, lp["up_w"].ws, lp["up_b"],
+                act=act, interpret=interp)
+            h = w8a8_pre(codes, sx, lp["down_w"], compute_dtype)
         h = h.reshape(bb, ss, -1)
     else:
         h = layernorm(x, lp["ln2_w"], lp["ln2_b"], eps)
@@ -240,7 +266,7 @@ def block(x, lp, *, n_head, eps, use_gelu, causal=False,
 def run_blocks(x, layers, *, n_head, eps, use_gelu, causal=False,
                compute_dtype=jnp.float32, attn_impl="auto", unroll=False,
                qmm_backend=None, tp_axis=None, valid_len=None,
-               lnq_fuse=False, up_gq=False):
+               lnq_fuse=False, up_gq=False, mlp_full=True):
     """Run the transformer stack; ``layers`` leaves carry a leading L axis.
 
     ``unroll=True`` emits a Python loop instead of ``lax.scan``: each layer's
@@ -252,7 +278,7 @@ def run_blocks(x, layers, *, n_head, eps, use_gelu, causal=False,
         block, n_head=n_head, eps=eps, use_gelu=use_gelu, causal=causal,
         compute_dtype=compute_dtype, attn_impl=attn_impl,
         qmm_backend=qmm_backend, tp_axis=tp_axis, valid_len=valid_len,
-        lnq_fuse=lnq_fuse, up_gq=up_gq,
+        lnq_fuse=lnq_fuse, up_gq=up_gq, mlp_full=mlp_full,
     )
 
     if unroll:

@@ -56,6 +56,7 @@ def encode_image(
     tp_axis: str | None = None,
     lnq_fuse: bool = False,
     up_gq: bool = False,
+    mlp_full: bool = True,
 ) -> jnp.ndarray:
     b = pixels.shape[0]
     p = cfg.patch_size
@@ -121,6 +122,7 @@ def encode_image(
         valid_len=valid_len,
         lnq_fuse=lnq_fuse,
         up_gq=up_gq,
+        mlp_full=mlp_full,
     )
 
     pooled = x[:, 0, :]  # CLS (clip.cpp:1426-1430)

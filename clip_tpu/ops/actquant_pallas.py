@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .qtensor import W8Tensor
 
 __all__ = ["lnq_pallas", "actq_pallas", "gemm_gq_pallas", "w8a8_pre",
-           "fusable_width"]
+           "fusable_width", "mlp_gq_pallas", "mlp_lnq_pallas", "mlp_fusable"]
 
 _SQRT_2_OVER_PI = 0.7978845608028654
 # VMEM row-block budget (elements).  The kernel's resident set per block is
@@ -231,6 +231,157 @@ def gemm_gq_pallas(codes, sx, w8, ws, bias, *, act: str = "gelu_quick",
         ),
         interpret=interpret,
     )(codes, sx, w8, ws2, b2)
+
+
+# ---------------------------------------------------------------------------
+# Whole-MLP fusion: up-GEMM -> gelu -> row requant -> down-GEMM in ONE kernel.
+#
+# gemm_gq_pallas keeps the [rows, 4H] bf16 up-output in VMEM but still writes
+# its int8 codes to HBM for w8a8_pre to read straight back (the model's
+# largest activation: 2 x M x 4H bytes/layer of pure round-trip).  At
+# H <= 1024 BOTH weight matrices fit VMEM-resident (int8 [4H,H] + [H,4H] =
+# 4.7 MB at H=768, 8.4 MB at H=1024), so one row-grid kernel runs the whole
+# MLP and the intermediate never exists outside VMEM in any dtype.  Measured
+# (scripts/proto_mlp_fused_kernel.py, slope-timed in-run): bit-identical to
+# the gemm_gq + w8a8_pre pair, ~5% faster isolated at B/32 shapes.
+# Reference anchor: the fused dequant-dot philosophy of ggml_mul_mat over
+# the reference MLP chain (/root/reference/clip.cpp:1104-1142).
+# ---------------------------------------------------------------------------
+
+_MLP_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _mlp_block_rows(rows: int, n: int, k: int, with_ln: bool) -> "int | None":
+    """Row block for the whole-MLP kernel, or None if the resident weights
+    leave no room.  Per-row VMEM: input (bf16 + f32 copy = 6k, or int8 + f32
+    LN copy ~ 5k), up acc + f32 + int8 (9n), down acc + bf16 out (6k)."""
+    budget = _MLP_VMEM_BUDGET - 2 * n * k
+    per_row = (12 if with_ln else 11) * k + 9 * n
+    br = (budget // per_row) // 8 * 8
+    if br < 64:  # tiny blocks leave the MXU on partial tiles — not worth it
+        return None
+    rp = -(-rows // 8) * 8
+    return min(br, 256, rp)
+
+
+def mlp_fusable(h: int, n4h: int) -> bool:
+    """True iff the whole-MLP kernel can run at this width (both weights
+    VMEM-resident with a usable row block)."""
+    return (fusable_width(h) and fusable_width(n4h)
+            and _mlp_block_rows(8, n4h, h, True) is not None)
+
+
+def _mlp_body(x32, sx, uw_ref, uws_ref, ub_ref, dw_ref, dws_ref, act):
+    """Shared math: int8 codes (+row scales) -> up dot -> rescale+bias ->
+    gelu -> row requant -> down dot -> f32 rescale.  Same ops in the same
+    order as gemm_gq_pallas + w8a8_pre, so outputs are bit-identical."""
+    acc = jax.lax.dot_general(
+        x32, uw_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx * uws_ref[0, :] + ub_ref[0, :]
+    if act == "gelu_quick":
+        y = y * jax.lax.logistic(1.702 * y)
+    elif act == "gelu_tanh":
+        y = 0.5 * y * (1.0 + jnp.tanh(
+            _SQRT_2_OVER_PI * (y + 0.044715 * y * y * y)))
+    c2, s2 = _quantize_rows(y)
+    acc2 = jax.lax.dot_general(
+        c2, dw_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc2.astype(jnp.float32) * s2 * dws_ref[0, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("act", "block_rows", "interpret", "out_dtype"))
+def mlp_gq_pallas(codes, sx, up8, upws, upb, dn8, dnws, *,
+                  act: str = "gelu_quick", block_rows: int | None = None,
+                  interpret: bool = False, out_dtype=jnp.bfloat16):
+    """Pre-quantized codes in -> whole MLP -> out (down bias NOT added:
+    under tensor parallelism the psum comes first, like w8a8_pre callers)."""
+    if act not in ("gelu_quick", "gelu_tanh", "none"):
+        raise ValueError(f"unknown act {act!r}")
+    m, k = codes.shape
+    n = up8.shape[0]
+    br = block_rows or _mlp_block_rows(m, n, k, with_ln=False)
+    if br is None:
+        raise ValueError(f"mlp_gq_pallas: width {n}x{k} exceeds VMEM budget")
+    upws2, upb2, dnws2 = upws.reshape(1, n), upb.reshape(1, n), dnws.reshape(1, k)
+
+    def kernel(x_ref, sx_ref, uw_ref, uws_ref, ub_ref, dw_ref, dws_ref, o_ref):
+        o_ref[:] = _mlp_body(
+            x_ref[:], sx_ref[:], uw_ref, uws_ref, ub_ref, dw_ref, dws_ref,
+            act).astype(o_ref.dtype)
+
+    # ragged grid (see lnq_pallas): tail-block stores are masked by Mosaic
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m, k), out_dtype),
+        grid=(pl.cdiv(m, br),),
+        in_specs=[
+            pl.BlockSpec((br, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((br, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(codes, sx, up8, upws2, upb2, dn8, dnws2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "act", "block_rows", "interpret", "out_dtype"))
+def mlp_lnq_pallas(x, lnw, lnb, up8, upws, upb, dn8, dnws, *, eps: float,
+                   act: str = "gelu_quick", block_rows: int | None = None,
+                   interpret: bool = False, out_dtype=jnp.bfloat16):
+    """Raw bf16 residual in -> LN -> quant -> whole MLP -> bf16 out.  One
+    kernel replaces the lnq_pallas + gemm_gq_pallas + w8a8_pre chain: the
+    LN'd codes and the 4H intermediate both stay in VMEM."""
+    if act not in ("gelu_quick", "gelu_tanh", "none"):
+        raise ValueError(f"unknown act {act!r}")
+    m, k = x.shape
+    n = up8.shape[0]
+    br = block_rows or _mlp_block_rows(m, n, k, with_ln=True)
+    if br is None:
+        raise ValueError(f"mlp_lnq_pallas: width {n}x{k} exceeds VMEM budget")
+    lnw2, lnb2 = lnw.reshape(1, k), lnb.reshape(1, k)
+    upws2, upb2, dnws2 = upws.reshape(1, n), upb.reshape(1, n), dnws.reshape(1, k)
+
+    def kernel(x_ref, lw_ref, lb_ref, uw_ref, uws_ref, ub_ref, dw_ref,
+               dws_ref, o_ref):
+        xv = x_ref[:].astype(jnp.float32)
+        mu = jnp.mean(xv, axis=1, keepdims=True)
+        ms = jnp.mean(xv * xv, axis=1, keepdims=True)
+        var = jnp.maximum(ms - mu * mu, 0.0)
+        y = (xv - mu) * jax.lax.rsqrt(var + eps)
+        y = y * lw_ref[0, :].astype(jnp.float32) + lb_ref[0, :].astype(jnp.float32)
+        c1, s1 = _quantize_rows(y)
+        o_ref[:] = _mlp_body(
+            c1, s1, uw_ref, uws_ref, ub_ref, dw_ref, dws_ref,
+            act).astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m, k), out_dtype),
+        grid=(pl.cdiv(m, br),),
+        in_specs=[
+            pl.BlockSpec((br, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((br, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, lnw2, lnb2, up8, upws2, upb2, dn8, dnws2)
 
 
 def w8a8_pre(codes, sx, w: W8Tensor, compute_dtype=jnp.bfloat16):

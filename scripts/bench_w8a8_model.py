@@ -101,10 +101,12 @@ def main():
     run_one("q4_bf16", pq)
     run_one("q4_w8a8", pw8)
     run_lnq_pair("lnq_pair", pw8)
-    run_one("lnq_gemm", pw8, lnq_fuse=True)
-    run_one("up_gq", pw8, up_gq=True)
+    run_one("lnq_gemm", pw8, lnq_fuse=True, mlp_full=False)
+    run_one("lnq_mlp", pw8, lnq_fuse=True)   # round-4 whole-MLP kernel
+    run_one("up_gq", pw8, up_gq=True, mlp_full=False)
+    run_one("upgq_mlp", pw8, up_gq=True)     # codes-in whole-MLP kernel
     run_one("dense", pdense)
-    run_lnq_pair("lnq_pairb", pw8)  # drift check
+    run_one("lnq_mlpb", pw8, lnq_fuse=True)  # drift check
 
 
 if __name__ == "__main__":

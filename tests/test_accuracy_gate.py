@@ -84,13 +84,30 @@ def f32_embeddings(gate_models, gate_data):
     return img, txt
 
 
-@pytest.fixture(scope="module")
-def quant_embeddings(gate_models, gate_data):
+# Both production compute paths must clear the same gates (round-3 verdict
+# weak #1: the gate previously exercised only the dequant path — the TPU
+# default is W8A8 with fused producers):
+#   dequant  exact q4/q5/q8 dequant-dot (CPU default; TPU with act_quant off)
+#   w8a8     per-channel int8 weights x per-row int8 activations, with the
+#            Pallas LN/gelu->quant producers + gemm_gq epilogue forced ON
+#            (real kernels on TPU, interpret mode on CPU — same math)
+_PATHS = ("dequant", "w8a8")
+_PATH_KW = {
+    "dequant": dict(act_quant=False),
+    "w8a8": dict(act_quant=True, lnq_fuse=True),
+}
+
+
+@pytest.fixture(scope="module", params=_PATHS)
+def quant_embeddings(request, gate_models, gate_data):
     _, quant = gate_models
     pixels, classes = gate_data
     out = {}
     for fmt, path in quant.items():
-        eng = ClipEngine(path, verbosity=0)
+        eng = ClipEngine(path, verbosity=0, **_PATH_KW[request.param])
+        if request.param == "w8a8":
+            assert eng.act_quant and eng.lnq_fuse, (
+                "w8a8 gate arm did not engage the fused-producer path")
         out[fmt] = (
             eng.encode_image(pixels, normalize=True, preprocessed=True),
             eng.encode_text(classes, normalize=True),
