@@ -248,20 +248,19 @@ def gemm_gq_pallas(codes, sx, w8, ws, bias, *, act: str = "gelu_quick",
 # the reference MLP chain (/root/reference/clip.cpp:1104-1142).
 # ---------------------------------------------------------------------------
 
-_MLP_VMEM_BUDGET = 13 * 1024 * 1024
+# Calibrated on hardware, not first-principles: Mosaic reuses the int32 acc
+# for the f32 epilogue (elementwise, same shape), so a naive all-live sum
+# wildly overestimates.  Measured (scripts/proto_mlp_fused_kernel.py):
+# br=256 compiles AND is the fastest block at both H=768 (weights 4.7 MB)
+# and H=1024 (8.4 MB); H=1280 (13.1 MB resident) leaves no usable block.
+_MLP_MAX_WEIGHT_BYTES = 9 * 1024 * 1024 + 512 * 1024
 
 
 def _mlp_block_rows(rows: int, n: int, k: int, with_ln: bool) -> "int | None":
-    """Row block for the whole-MLP kernel, or None if the resident weights
-    leave no room.  Per-row VMEM: input (bf16 + f32 copy = 6k, or int8 + f32
-    LN copy ~ 5k), up acc + f32 + int8 (9n), down acc + bf16 out (6k)."""
-    budget = _MLP_VMEM_BUDGET - 2 * n * k
-    per_row = (12 if with_ln else 11) * k + 9 * n
-    br = (budget // per_row) // 8 * 8
-    if br < 64:  # tiny blocks leave the MXU on partial tiles — not worth it
+    if 2 * n * k > _MLP_MAX_WEIGHT_BYTES:
         return None
     rp = -(-rows // 8) * 8
-    return min(br, 256, rp)
+    return min(256, rp)
 
 
 def mlp_fusable(h: int, n4h: int) -> bool:
