@@ -214,6 +214,84 @@ def test_block_fused_gates_off_dense_and_narrow(rng):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_mlp_kernels_match_staged_chain(rng):
+    """Whole-MLP kernels (mlp_lnq_pallas / mlp_gq_pallas) vs the staged
+    lnq -> gemm_gq -> w8a8_pre chain: same ops in the same order, so outputs
+    must be BIT-equal (the int8 dots accumulate exactly in int32; the f32
+    epilogues are identical expressions)."""
+    from clip_tpu.ops.actquant_pallas import (
+        gemm_gq_pallas, mlp_gq_pallas, mlp_lnq_pallas)
+
+    h, f, rows = 128, 512, 52  # rows deliberately not a block multiple
+    x = jnp.asarray(rng.normal(0, 1, (rows, h)), jnp.bfloat16)
+    lnw = jnp.asarray(rng.normal(1, 0.05, h), jnp.float32)
+    lnb = jnp.asarray(rng.normal(0, 0.05, h), jnp.float32)
+    up = to_w8tensor(jnp.asarray(rng.normal(0, 0.05, (f, h)), jnp.float32))
+    dn = to_w8tensor(jnp.asarray(rng.normal(0, 0.05, (h, f)), jnp.float32))
+    upb = jnp.asarray(rng.normal(0, 0.05, f), jnp.float32)
+
+    for act in ("gelu_quick", "gelu_tanh"):
+        c, s = lnq_pallas(x, lnw, lnb, eps=EPS, interpret=INTERP)
+        c2, s2 = gemm_gq_pallas(c, s, up.c8, up.ws, upb, act=act,
+                                interpret=INTERP)
+        ref = w8a8_pre(c2, s2, dn, jnp.float32)
+
+        got = mlp_lnq_pallas(x, lnw, lnb, up.c8, up.ws, upb, dn.c8, dn.ws,
+                             eps=EPS, act=act, interpret=INTERP,
+                             out_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+        got2 = mlp_gq_pallas(c, s, up.c8, up.ws, upb, dn.c8, dn.ws,
+                             act=act, interpret=INTERP, out_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref))
+
+
+def test_mlp_blocking_invariance(rng):
+    """Ragged grids + per-row math: whole-MLP outputs must be bit-equal
+    across any block_rows choice, dividing or not."""
+    from clip_tpu.ops.actquant_pallas import mlp_lnq_pallas
+
+    h, f, rows = 128, 512, 104
+    x = jnp.asarray(rng.normal(0, 1, (rows, h)), jnp.bfloat16)
+    lnw = jnp.asarray(rng.normal(1, 0.05, h), jnp.float32)
+    lnb = jnp.asarray(rng.normal(0, 0.05, h), jnp.float32)
+    up = to_w8tensor(jnp.asarray(rng.normal(0, 0.05, (f, h)), jnp.float32))
+    dn = to_w8tensor(jnp.asarray(rng.normal(0, 0.05, (h, f)), jnp.float32))
+    upb = jnp.asarray(rng.normal(0, 0.05, f), jnp.float32)
+
+    outs = [
+        np.asarray(mlp_lnq_pallas(
+            x, lnw, lnb, up.c8, up.ws, upb, dn.c8, dn.ws, eps=EPS,
+            block_rows=br, interpret=INTERP, out_dtype=jnp.float32))
+        for br in (48, 104)
+    ]
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_block_mlp_full_matches_staged(rng):
+    """transformer.block with mlp_full on vs off (both lnq_fuse) must be
+    bit-equal — the whole-MLP kernel is a fusion, not an approximation.
+    ViT-H/14-width MLPs (resident weights past the VMEM budget) must fall
+    back to the staged chain transparently."""
+    from clip_tpu.ops.actquant_pallas import mlp_fusable
+
+    h, f = 128, 512
+    lp = _layer_params(rng, h, f)
+    for k in ("qkv_w", "o_w", "up_w", "down_w"):
+        lp[k] = to_w8tensor(lp[k])
+    x = jnp.asarray(rng.normal(0, 1, (2, 10, h)), jnp.float32)
+    kw = dict(n_head=4, eps=EPS, use_gelu=False,
+              compute_dtype=jnp.float32, attn_impl="xla", lnq_fuse=True)
+    assert mlp_fusable(h, f)
+    a = transformer.block(x, lp, mlp_full=True, **kw)
+    b = transformer.block(x, lp, mlp_full=False, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the production fallback boundary: H/14's 1280x5120 exceeds the budget
+    assert not mlp_fusable(1280, 5120)
+    assert mlp_fusable(768, 3072) and mlp_fusable(1024, 4096)
+
+
 def _w128_q4_gguf(tmp_path):
     """A 128-wide q4_0 checkpoint — the smallest width the fusion gate
     (128-lane tiling) accepts."""
