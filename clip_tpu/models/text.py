@@ -39,6 +39,7 @@ def encode_text(
     lnq_fuse: bool = False,
     up_gq: bool = False,
     mlp_full: bool = True,
+    attn_i8: bool = True,
 ) -> jnp.ndarray:
     b, s = token_ids.shape
 
@@ -75,6 +76,7 @@ def encode_text(
         lnq_fuse=lnq_fuse,
         up_gq=up_gq,
         mlp_full=mlp_full,
+        attn_i8=attn_i8,
     )
 
     x = layernorm(x, params["post_ln_w"], params["post_ln_b"], cfg.eps)

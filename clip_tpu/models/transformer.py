@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from ..ops.actquant_pallas import (
     fusable_width, gemm_gq_pallas, lnq_pallas, mlp_fusable, mlp_gq_pallas,
     mlp_lnq_pallas, w8a8_pre)
-from ..ops.attention_pallas import flat_eligible, mha_pallas_qkv
+from ..ops.attention_pallas import (
+    flat_eligible, mha_pallas_qkv, mha_pallas_qkv_i8)
 from ..ops.linear import linear, quant_rows
 from ..ops.nn import gelu_quick, gelu_tanh, layernorm, softmax
 from ..ops.qtensor import W8Tensor
@@ -55,6 +56,7 @@ def attention(
     compute_dtype=jnp.float32, attn_impl: str = "auto",
     qmm_backend: str | None = None, tp_axis: str | None = None,
     valid_len: int | None = None, ln=None, lnq_fuse: bool = False,
+    attn_i8: bool = True,
 ):
     """Multi-head self-attention over ``x [B, S, H]``.
 
@@ -92,12 +94,50 @@ def attention(
     # using the global 3*h here could silently desync the two
     qkv_width = lp["qkv_w"].shape[0]
     if fused_lnq:
+        interp = jax.default_backend() != "tpu"
         # one VMEM pass: LN + per-row amax + int8 quantize, straight into the
         # int8 MXU dot (w8a8_matmul's shape logic already runs every GEMM as
         # a 2-D dot, so this changes only operand production, not layout)
         codes, sx = lnq_pallas(
             x.reshape(b * s, h), ln[0], ln[1], eps=float(ln[2]),
-            interpret=jax.default_backend() != "tpu")
+            interpret=interp)
+        # int8 attention route: the qkv GEMM emits int8 codes + row scales
+        # (gemm_gq epilogue, act='none' — bias added before the quant), and
+        # the flat kernel consumes them directly: the score dot runs on the
+        # int8 MXU with EXACT int32 accumulation (the row scales factor out
+        # as a rank-1 rescale), the kernel reads half the bytes, and the
+        # [rows, 3H] bf16 projection never exists in HBM.  1.22x on the
+        # kernel at B/32 shapes (scripts/proto_attn_int8.py).
+        if attn_i8 and impl == "pallas" and flat_eligible(b, s, qkv_width):
+            h_loc = qkv_width // 3
+            qc, qsx = gemm_gq_pallas(
+                codes, sx, lp["qkv_w"].c8, lp["qkv_w"].ws, lp["qkv_b"],
+                act="none", interpret=interp)
+            quant_o = (
+                isinstance(lp["o_w"], W8Tensor) and fusable_width(h_loc)
+                and flat_eligible(b, s, qkv_width, quant_out=True)
+            )
+            n_head_loc = h_loc // (h // n_head)
+            if quant_o:
+                oc, osx = mha_pallas_qkv_i8(
+                    qc.reshape(b, s, -1), qsx.reshape(b, s, 1),
+                    n_head=n_head_loc, scale=scale, causal=causal,
+                    interpret=interp, valid_len=valid_len, quant_out=True)
+                proj = w8a8_pre(
+                    oc.reshape(b * s, h_loc), osx.reshape(b * s, 1),
+                    lp["o_w"], compute_dtype).reshape(b, s, -1)
+            else:
+                out = mha_pallas_qkv_i8(
+                    qc.reshape(b, s, -1), qsx.reshape(b, s, 1),
+                    n_head=n_head_loc, scale=scale, causal=causal,
+                    interpret=interp, valid_len=valid_len,
+                    out_dtype=compute_dtype)
+                proj = linear(out, lp["o_w"], None,
+                              compute_dtype=compute_dtype,
+                              backend=qmm_backend)
+            if tp_axis is not None:
+                proj = jax.lax.psum(proj, tp_axis)
+            return proj + lp["o_b"].astype(proj.dtype)
         qkv = w8a8_pre(codes, sx, lp["qkv_w"], compute_dtype)
         qkv = (qkv + lp["qkv_b"].astype(qkv.dtype)).reshape(b, s, -1)
     elif impl == "pallas" and flat_eligible(b, s, qkv_width):
@@ -173,12 +213,13 @@ def attention(
 def block(x, lp, *, n_head, eps, use_gelu, causal=False,
           compute_dtype=jnp.float32, attn_impl="auto",
           qmm_backend=None, tp_axis=None, valid_len=None,
-          lnq_fuse=False, up_gq=False, mlp_full=True):
+          lnq_fuse=False, up_gq=False, mlp_full=True, attn_i8=True):
     x = x + attention(x, lp, n_head=n_head, causal=causal,
                       compute_dtype=compute_dtype, attn_impl=attn_impl,
                       qmm_backend=qmm_backend, tp_axis=tp_axis,
                       valid_len=valid_len,
-                      ln=(lp["ln1_w"], lp["ln1_b"], eps), lnq_fuse=lnq_fuse)
+                      ln=(lp["ln1_w"], lp["ln1_b"], eps), lnq_fuse=lnq_fuse,
+                      attn_i8=attn_i8)
 
     fuse_mlp = (
         lnq_fuse
@@ -266,7 +307,7 @@ def block(x, lp, *, n_head, eps, use_gelu, causal=False,
 def run_blocks(x, layers, *, n_head, eps, use_gelu, causal=False,
                compute_dtype=jnp.float32, attn_impl="auto", unroll=False,
                qmm_backend=None, tp_axis=None, valid_len=None,
-               lnq_fuse=False, up_gq=False, mlp_full=True):
+               lnq_fuse=False, up_gq=False, mlp_full=True, attn_i8=True):
     """Run the transformer stack; ``layers`` leaves carry a leading L axis.
 
     ``unroll=True`` emits a Python loop instead of ``lax.scan``: each layer's
@@ -278,7 +319,7 @@ def run_blocks(x, layers, *, n_head, eps, use_gelu, causal=False,
         block, n_head=n_head, eps=eps, use_gelu=use_gelu, causal=causal,
         compute_dtype=compute_dtype, attn_impl=attn_impl,
         qmm_backend=qmm_backend, tp_axis=tp_axis, valid_len=valid_len,
-        lnq_fuse=lnq_fuse, up_gq=up_gq, mlp_full=mlp_full,
+        lnq_fuse=lnq_fuse, up_gq=up_gq, mlp_full=mlp_full, attn_i8=attn_i8,
     )
 
     if unroll:

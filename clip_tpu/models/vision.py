@@ -57,6 +57,7 @@ def encode_image(
     lnq_fuse: bool = False,
     up_gq: bool = False,
     mlp_full: bool = True,
+    attn_i8: bool = True,
 ) -> jnp.ndarray:
     b = pixels.shape[0]
     p = cfg.patch_size
@@ -123,6 +124,7 @@ def encode_image(
         lnq_fuse=lnq_fuse,
         up_gq=up_gq,
         mlp_full=mlp_full,
+        attn_i8=attn_i8,
     )
 
     pooled = x[:, 0, :]  # CLS (clip.cpp:1426-1430)

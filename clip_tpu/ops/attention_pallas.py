@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flat_eligible", "mha_pallas", "mha_pallas_qkv"]
+__all__ = ["flat_eligible", "mha_pallas", "mha_pallas_qkv",
+           "mha_pallas_qkv_i8"]
 
 NEG_INF = -1e9
 
@@ -169,6 +170,142 @@ def _qkv_kernel_flat(qkv_ref, o_ref, *s_ref_opt, n_head, seq_len, causal,
         sx = amax / 127.0 + 1e-12
         o_ref[:] = jnp.clip(jnp.round(y / sx), -127, 127).astype(jnp.int8)
         s_ref_opt[0][:] = sx
+
+
+def _qkv_kernel_flat_i8(qkv_ref, s_ref, o_ref, *s_ref_opt, n_head, seq_len,
+                        causal, scale, valid_len, quant_out=False):
+    """Flat kernel over an int8-quantized qkv projection (codes [rt, 3H] +
+    per-row f32 scales [rt, 1], as emitted by ``gemm_gq_pallas(act='none')``).
+
+    The score dot runs on the INT8 MXU with exact int32 accumulation — the
+    per-row scales factor out of the contraction entirely, so the rescale is
+    a rank-1 outer product folded into the bias add.  Reads half the bytes of
+    the bf16 kernel and moves its dominant dot to the 2.5x int8 MXU rate:
+    1.22x end-to-end on the kernel at ViT-B/32 shapes
+    (scripts/proto_attn_int8.py; the all-int8 V-mix variant measured SLOWER —
+    the p requant doesn't pay for itself at d_head=64 — so V dequantizes to
+    bf16 in VMEM).  Numerics: the int32 score accumulation is exact where the
+    bf16 kernel rounds, so agreement with the bf16 kernel is bf16-grade
+    (cos 0.9999 per call); the int8 staging error itself belongs to the
+    producing GEMM's epilogue, not this kernel."""
+    rt = qkv_ref.shape[0]
+    h = qkv_ref.shape[1] // 3
+    dh = h // n_head
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (rt, rt), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rt, rt), 1)
+    invalid = (rows // seq_len) != (cols // seq_len)      # cross-image
+    if valid_len < seq_len:
+        invalid = jnp.logical_or(invalid, cols % seq_len >= valid_len)
+    if causal:
+        invalid = jnp.logical_or(invalid, cols % seq_len > rows % seq_len)
+    bias = jnp.where(invalid, NEG_INF, 0.0).astype(jnp.float32)
+
+    ct = (((1,), (1,)), ((), ()))
+    cn = (((1,), (0,)), ((), ()))
+    sx = s_ref[:]                                         # [rt, 1] f32
+    srow = sx * jnp.float32(scale)                        # Q-side scale
+    scol = sx.reshape(1, rt)                              # K-side scale
+
+    outs = []
+    for hd in range(n_head):
+        qs = slice(hd * dh, (hd + 1) * dh)
+        ks = slice(h + hd * dh, h + (hd + 1) * dh)
+        vs = slice(2 * h + hd * dh, 2 * h + (hd + 1) * dh)
+        acc = jax.lax.dot_general(
+            qkv_ref[:, qs], qkv_ref[:, ks], ct,
+            preferred_element_type=jnp.int32)
+        scores = acc.astype(jnp.float32) * srow * scol + bias
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        vh = (qkv_ref[:, vs].astype(jnp.float32) * sx).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), vh, cn, preferred_element_type=jnp.float32)
+        if quant_out:
+            outs.append(out)
+        else:
+            o_ref[:, qs] = out.astype(o_ref.dtype)
+    if quant_out:
+        y = jnp.concatenate(outs, axis=1)                 # [rt, h] f32
+        amax = jnp.max(jnp.abs(y), axis=1, keepdims=True)
+        sp = amax / 127.0 + 1e-12
+        o_ref[:] = jnp.clip(jnp.round(y / sp), -127, 127).astype(jnp.int8)
+        s_ref_opt[0][:] = sp
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_head", "causal", "scale", "interpret", "valid_len",
+                     "quant_out", "out_dtype"),
+)
+def mha_pallas_qkv_i8(
+    codes: jnp.ndarray,
+    scales: jnp.ndarray,
+    *,
+    n_head: int,
+    scale: float,
+    causal: bool = False,
+    interpret: bool = False,
+    valid_len: "int | None" = None,
+    quant_out: bool = False,
+    out_dtype=jnp.bfloat16,
+):
+    """Fused MHA over an int8-staged projection ``codes [B, S, 3H]`` +
+    per-row scales ``[B, S, 1]`` -> ``[B, S, H]`` (or int8 codes + scales
+    with ``quant_out``).  Flat path only — callers gate on
+    :func:`flat_eligible` with the same (b, s, 3h, quant_out) arguments."""
+    b, s, h3 = codes.shape
+    h = h3 // 3
+    vl = s if valid_len is None else valid_len
+
+    bb = _flat_block_b(b, s, h3, quant_out)
+    if bb is None:
+        raise ValueError(
+            "mha_pallas_qkv_i8 requires the flat path: gate on flat_eligible")
+    rt = bb * s
+    b_pad = -(-b // bb) * bb
+    c2 = codes.reshape(b * s, h3)
+    s2 = scales.reshape(b * s, 1)
+    if b_pad != b:
+        c2 = jnp.pad(c2, ((0, (b_pad - b) * s), (0, 0)))
+        s2 = jnp.pad(s2, ((0, (b_pad - b) * s), (0, 0)))
+    kernel = functools.partial(
+        _qkv_kernel_flat_i8, n_head=n_head, seq_len=s, causal=causal,
+        scale=scale, valid_len=vl, quant_out=quant_out,
+    )
+    if quant_out:
+        out_shape = (jax.ShapeDtypeStruct((b_pad * s, h), jnp.int8),
+                     jax.ShapeDtypeStruct((b_pad * s, 1), jnp.float32))
+        out_specs = (
+            pl.BlockSpec((rt, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        )
+    else:
+        out_shape = jax.ShapeDtypeStruct((b_pad * s, h), out_dtype)
+        out_specs = pl.BlockSpec((rt, h), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=(b_pad // bb,),
+        in_specs=[
+            pl.BlockSpec((rt, h3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b_pad * s * rt * h,
+            bytes_accessed=5 * b_pad * s * h,
+            transcendentals=b_pad * n_head * s * rt,
+        ),
+    )(c2, s2)
+    if quant_out:
+        oc, osc = out
+        return (oc[: b * s].reshape(b, s, h),
+                osc[: b * s].reshape(b, s, 1))
+    return out[: b * s].reshape(b, s, h)
 
 
 _FLAT_MAX_ROWS = 448    # multi-image blocks: bounds block-diagonal waste

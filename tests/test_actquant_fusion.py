@@ -292,6 +292,31 @@ def test_block_mlp_full_matches_staged(rng):
     assert mlp_fusable(768, 3072) and mlp_fusable(1024, 4096)
 
 
+@pytest.mark.parametrize("mode", ["plain", "causal", "valid_len"])
+def test_attn_i8_route_matches_bf16_route(rng, mode):
+    """The int8-consuming attention route (qkv GEMM emits int8 codes via the
+    gemm_gq epilogue; the kernel's score dot runs exact-int32 with a rank-1
+    rescale) must track the bf16 route within int8-staging error: the ONLY
+    new approximation is the per-row quantization of the qkv projection, so
+    block outputs agree to ~1e-2 abs / cos>0.9999 at unit-variance shapes —
+    in every mask mode (vision pad-once valid_len, text causal)."""
+    h, f, nh = 128, 512, 2
+    lp = _layer_params(rng, h, f)
+    for k in ("qkv_w", "o_w", "up_w", "down_w"):
+        lp[k] = to_w8tensor(lp[k])
+    x = jnp.asarray(rng.normal(0, 1, (4, 8, h)), jnp.float32)
+    kw = dict(n_head=nh, eps=EPS, use_gelu=False, compute_dtype=jnp.float32,
+              attn_impl="pallas", lnq_fuse=True,
+              causal=mode == "causal",
+              valid_len=6 if mode == "valid_len" else None)
+    a = np.asarray(transformer.block(x, lp, attn_i8=True, **kw))
+    b = np.asarray(transformer.block(x, lp, attn_i8=False, **kw))
+    np.testing.assert_allclose(a, b, atol=5e-2, rtol=5e-2)
+    cos = (a.ravel() * b.ravel()).sum() / (
+        np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.9999, cos
+
+
 def _w128_q4_gguf(tmp_path):
     """A 128-wide q4_0 checkpoint — the smallest width the fusion gate
     (128-lane tiling) accepts."""
@@ -446,8 +471,10 @@ def test_attention_quant_epilogue_matches_unfused(rng):
     x = jnp.asarray(rng.normal(0, 1, (b, s, h)), jnp.float32)
     kw = dict(n_head=4, eps=EPS, use_gelu=False,
               compute_dtype=jnp.float32, attn_impl="pallas")
-    ref = transformer.block(x, lp, lnq_fuse=False, **kw)
-    out = transformer.block(x, lp, lnq_fuse=True, **kw)
+    # attn_i8=False isolates the epilogue under test: the int8 attention
+    # route adds qkv-staging error gated by its own test above
+    ref = transformer.block(x, lp, lnq_fuse=False, attn_i8=False, **kw)
+    out = transformer.block(x, lp, lnq_fuse=True, attn_i8=False, **kw)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=3e-3, atol=3e-3)
 
@@ -456,7 +483,7 @@ def test_attention_quant_epilogue_matches_unfused(rng):
     b2, s2 = 2, 10
     assert not flat_eligible(b2, s2, 3 * h)
     x2 = jnp.asarray(rng.normal(0, 1, (b2, s2, h)), jnp.float32)
-    ref2 = transformer.block(x2, lp, lnq_fuse=False, **kw)
-    out2 = transformer.block(x2, lp, lnq_fuse=True, **kw)
+    ref2 = transformer.block(x2, lp, lnq_fuse=False, attn_i8=False, **kw)
+    out2 = transformer.block(x2, lp, lnq_fuse=True, attn_i8=False, **kw)
     np.testing.assert_allclose(
         np.asarray(out2), np.asarray(ref2), rtol=3e-3, atol=3e-3)
