@@ -39,7 +39,7 @@ def encode_text(
     lnq_fuse: bool = False,
     up_gq: bool = False,
     mlp_full: bool = True,
-    attn_i8: bool = True,
+    attn_i8: bool = False,
 ) -> jnp.ndarray:
     b, s = token_ids.shape
 

@@ -56,7 +56,7 @@ def attention(
     compute_dtype=jnp.float32, attn_impl: str = "auto",
     qmm_backend: str | None = None, tp_axis: str | None = None,
     valid_len: int | None = None, ln=None, lnq_fuse: bool = False,
-    attn_i8: bool = True,
+    attn_i8: bool = False,
 ):
     """Multi-head self-attention over ``x [B, S, H]``.
 
@@ -101,18 +101,30 @@ def attention(
         codes, sx = lnq_pallas(
             x.reshape(b * s, h), ln[0], ln[1], eps=float(ln[2]),
             interpret=interp)
-        # int8 attention route: the qkv GEMM emits int8 codes + row scales
-        # (gemm_gq epilogue, act='none' — bias added before the quant), and
-        # the flat kernel consumes them directly: the score dot runs on the
-        # int8 MXU with EXACT int32 accumulation (the row scales factor out
-        # as a rank-1 rescale), the kernel reads half the bytes, and the
-        # [rows, 3H] bf16 projection never exists in HBM.  1.22x on the
-        # kernel at B/32 shapes (scripts/proto_attn_int8.py).
+        # int8 attention route (OFF by default — measured negative): the qkv
+        # GEMM emits int8 codes + row scales (gemm_gq epilogue, act='none')
+        # and the flat kernel consumes them directly — exact-int32 score dot
+        # with a rank-1 rescale, half the read bytes.  The isolated kernel
+        # races 1.22x (scripts/proto_attn_int8.py) but IN-MODEL both
+        # integrations LOSE at B/32 B=384 (22.43/23.50 vs 22.04 ms for
+        # gemm_gq-qkv / xlaq-variant vs default) and L/14 (175.0 vs 169.8):
+        # the Pallas custom-call boundary at the qkv GEMM costs more than
+        # the kernel saves, and the isolated 1.22x was dispatch-dominated
+        # (single-call timing, not slope).  Kept selectable for re-racing on
+        # other hardware.
         if attn_i8 and impl == "pallas" and flat_eligible(b, s, qkv_width):
             h_loc = qkv_width // 3
-            qc, qsx = gemm_gq_pallas(
-                codes, sx, lp["qkv_w"].c8, lp["qkv_w"].ws, lp["qkv_b"],
-                act="none", interpret=interp)
+            if attn_i8 == "xlaq":
+                # variant under measurement: keep the XLA int8 qkv GEMM (its
+                # epilogue fuses with the rescale+bias) and quantize its
+                # output with an XLA-level row pass feeding the kernel
+                qkv = w8a8_pre(codes, sx, lp["qkv_w"], compute_dtype)
+                qkv = qkv + lp["qkv_b"].astype(qkv.dtype)
+                qc, qsx = quant_rows(qkv)
+            else:
+                qc, qsx = gemm_gq_pallas(
+                    codes, sx, lp["qkv_w"].c8, lp["qkv_w"].ws, lp["qkv_b"],
+                    act="none", interpret=interp)
             quant_o = (
                 isinstance(lp["o_w"], W8Tensor) and fusable_width(h_loc)
                 and flat_eligible(b, s, qkv_width, quant_out=True)
@@ -213,7 +225,7 @@ def attention(
 def block(x, lp, *, n_head, eps, use_gelu, causal=False,
           compute_dtype=jnp.float32, attn_impl="auto",
           qmm_backend=None, tp_axis=None, valid_len=None,
-          lnq_fuse=False, up_gq=False, mlp_full=True, attn_i8=True):
+          lnq_fuse=False, up_gq=False, mlp_full=True, attn_i8=False):
     x = x + attention(x, lp, n_head=n_head, causal=causal,
                       compute_dtype=compute_dtype, attn_impl=attn_impl,
                       qmm_backend=qmm_backend, tp_axis=tp_axis,
@@ -307,7 +319,7 @@ def block(x, lp, *, n_head, eps, use_gelu, causal=False,
 def run_blocks(x, layers, *, n_head, eps, use_gelu, causal=False,
                compute_dtype=jnp.float32, attn_impl="auto", unroll=False,
                qmm_backend=None, tp_axis=None, valid_len=None,
-               lnq_fuse=False, up_gq=False, mlp_full=True, attn_i8=True):
+               lnq_fuse=False, up_gq=False, mlp_full=True, attn_i8=False):
     """Run the transformer stack; ``layers`` leaves carry a leading L axis.
 
     ``unroll=True`` emits a Python loop instead of ``lax.scan``: each layer's

@@ -57,7 +57,7 @@ def encode_image(
     lnq_fuse: bool = False,
     up_gq: bool = False,
     mlp_full: bool = True,
-    attn_i8: bool = True,
+    attn_i8: bool = False,
 ) -> jnp.ndarray:
     b = pixels.shape[0]
     p = cfg.patch_size

@@ -104,6 +104,7 @@ def main():
     run_one("lnq_gemm", pw8, lnq_fuse=True, mlp_full=False, attn_i8=False)
     run_one("lnq_mlp", pw8, lnq_fuse=True, attn_i8=False)  # r4 whole-MLP kernel
     run_one("lnq_full", pw8, lnq_fuse=True)  # r4 + int8-consuming attention
+    run_one("lnq_xlaq", pw8, lnq_fuse=True, attn_i8="xlaq")
     run_one("up_gq", pw8, up_gq=True, mlp_full=False)
     run_one("upgq_mlp", pw8, up_gq=True)     # codes-in whole-MLP kernel
     run_one("dense", pdense)
