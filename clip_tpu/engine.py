@@ -263,7 +263,6 @@ class ClipEngine:
         # up_gq split below.  Auto: vision towers when W8A8 runs real TPU
         # kernels; explicit lnq_fuse=True forces it on everywhere; CPU keeps
         # the XLA-exact path (interpret kernels are test-only).
-        self._lnq_forced = lnq_fuse is True
         if lnq_fuse is None:
             lnq_fuse = self.act_quant and jax.default_backend() == "tpu"
         self.lnq_fuse = bool(lnq_fuse) and self.act_quant
@@ -380,18 +379,17 @@ class ClipEngine:
         return b if b % m == 0 else ((b + m - 1) // m) * m
 
     def _tower_lnq(self, tower_cfg, kind: str) -> bool:
-        """Per-tower fused-producer decision (measured rule, see the
-        lnq_fuse comment in __init__): with the gemm_gq epilogue, every
-        vision width wins (B/32 +8.5%, L/14 1009 vs 983, H/14 588 vs 579,
-        L/14-336 478 vs 435 img/s); the TEXT tower loses even at H=512
-        (18.2k -> 14.8k texts/s, scripts/bench_text.py) — its short-S flat
-        blocks don't amortize the producer boundary, so it takes up_gq
-        instead.  Explicit lnq_fuse=True forces it on everywhere."""
+        """Per-tower fused-producer decision.  History: round 3's rule was
+        vision-only (text lost 18% on the LN producer boundary and took the
+        up_gq split).  The round-4 whole-MLP kernel (``mlp_lnq_pallas``)
+        changed the balance again: with LN+quant+up+gelu+requant+down in ONE
+        kernel the producer boundary that hurt text is gone, and full lnq
+        now wins BOTH towers (text 12.41 ms lnq_mlp vs 12.77 upgq_mlp vs
+        13.25 round-3 up_gq at B=256 -> 20.6k texts/s; vision unchanged-won,
+        scripts/bench_text.py, bench_w8a8_model.py)."""
         if not self.lnq_fuse:
             return False
-        if self._lnq_forced:
-            return True
-        return kind == "vision"
+        return True
 
     def _tower_upgq(self, tower_cfg, kind: str) -> bool:
         """XLA-quant + fused up-GEMM split, for towers where the lnq
