@@ -40,6 +40,7 @@ def encode_text(
     up_gq: bool = False,
     mlp_full: bool = True,
     attn_i8: bool = False,
+    attn_block: bool = True,
 ) -> jnp.ndarray:
     b, s = token_ids.shape
 
@@ -77,6 +78,7 @@ def encode_text(
         up_gq=up_gq,
         mlp_full=mlp_full,
         attn_i8=attn_i8,
+        attn_block=attn_block,
     )
 
     x = layernorm(x, params["post_ln_w"], params["post_ln_b"], cfg.eps)

@@ -23,7 +23,8 @@ from ..ops.actquant_pallas import (
     fusable_width, gemm_gq_pallas, lnq_pallas, mlp_fusable, mlp_gq_pallas,
     mlp_lnq_pallas, w8a8_pre)
 from ..ops.attention_pallas import (
-    flat_eligible, mha_pallas_qkv, mha_pallas_qkv_i8)
+    attn_block_fusable, attn_block_pallas, flat_eligible, mha_pallas_qkv,
+    mha_pallas_qkv_i8)
 from ..ops.linear import linear, quant_rows
 from ..ops.nn import gelu_quick, gelu_tanh, layernorm, softmax
 from ..ops.qtensor import W8Tensor
@@ -56,7 +57,7 @@ def attention(
     compute_dtype=jnp.float32, attn_impl: str = "auto",
     qmm_backend: str | None = None, tp_axis: str | None = None,
     valid_len: int | None = None, ln=None, lnq_fuse: bool = False,
-    attn_i8: bool = False,
+    attn_i8: bool = False, attn_block: bool = True,
 ):
     """Multi-head self-attention over ``x [B, S, H]``.
 
@@ -95,6 +96,27 @@ def attention(
     qkv_width = lp["qkv_w"].shape[0]
     if fused_lnq:
         interp = jax.default_backend() != "tpu"
+        # whole-attention-block kernel: LN + quant + int8 qkv GEMM + per-head
+        # attention + requant + int8 o GEMM in ONE VMEM pass — the [rows, 3H]
+        # projection never exists in HBM (176 MB/layer at B/32 B=384 written
+        # and read back on the staged path).  Slope-timed 1.12x on the
+        # attention half (scripts/proto_attnblock.py); weights-resident gate
+        # falls back to the staged path at ViT-H/14 width.
+        if (attn_block and impl == "pallas"
+                and isinstance(lp["o_w"], W8Tensor)
+                and flat_eligible(b, s, qkv_width)
+                and attn_block_fusable(h, qkv_width, lp["o_w"].shape[0],
+                                       b, s)):
+            proj = attn_block_pallas(
+                x, ln[0], ln[1], lp["qkv_w"].c8, lp["qkv_w"].ws,
+                lp["qkv_b"], lp["o_w"].c8, lp["o_w"].ws,
+                n_head=qkv_width // 3 // (h // n_head),
+                scale=scale, eps=float(ln[2]), causal=causal,
+                interpret=interp, valid_len=valid_len,
+                out_dtype=compute_dtype)
+            if tp_axis is not None:
+                proj = jax.lax.psum(proj, tp_axis)
+            return proj + lp["o_b"].astype(proj.dtype)
         # one VMEM pass: LN + per-row amax + int8 quantize, straight into the
         # int8 MXU dot (w8a8_matmul's shape logic already runs every GEMM as
         # a 2-D dot, so this changes only operand production, not layout)
@@ -225,13 +247,14 @@ def attention(
 def block(x, lp, *, n_head, eps, use_gelu, causal=False,
           compute_dtype=jnp.float32, attn_impl="auto",
           qmm_backend=None, tp_axis=None, valid_len=None,
-          lnq_fuse=False, up_gq=False, mlp_full=True, attn_i8=False):
+          lnq_fuse=False, up_gq=False, mlp_full=True, attn_i8=False,
+          attn_block=True):
     x = x + attention(x, lp, n_head=n_head, causal=causal,
                       compute_dtype=compute_dtype, attn_impl=attn_impl,
                       qmm_backend=qmm_backend, tp_axis=tp_axis,
                       valid_len=valid_len,
                       ln=(lp["ln1_w"], lp["ln1_b"], eps), lnq_fuse=lnq_fuse,
-                      attn_i8=attn_i8)
+                      attn_i8=attn_i8, attn_block=attn_block)
 
     fuse_mlp = (
         lnq_fuse
@@ -319,7 +342,8 @@ def block(x, lp, *, n_head, eps, use_gelu, causal=False,
 def run_blocks(x, layers, *, n_head, eps, use_gelu, causal=False,
                compute_dtype=jnp.float32, attn_impl="auto", unroll=False,
                qmm_backend=None, tp_axis=None, valid_len=None,
-               lnq_fuse=False, up_gq=False, mlp_full=True, attn_i8=False):
+               lnq_fuse=False, up_gq=False, mlp_full=True, attn_i8=False,
+               attn_block=True):
     """Run the transformer stack; ``layers`` leaves carry a leading L axis.
 
     ``unroll=True`` emits a Python loop instead of ``lax.scan``: each layer's
@@ -332,6 +356,7 @@ def run_blocks(x, layers, *, n_head, eps, use_gelu, causal=False,
         compute_dtype=compute_dtype, attn_impl=attn_impl,
         qmm_backend=qmm_backend, tp_axis=tp_axis, valid_len=valid_len,
         lnq_fuse=lnq_fuse, up_gq=up_gq, mlp_full=mlp_full, attn_i8=attn_i8,
+        attn_block=attn_block,
     )
 
     if unroll:

@@ -58,6 +58,7 @@ def encode_image(
     up_gq: bool = False,
     mlp_full: bool = True,
     attn_i8: bool = False,
+    attn_block: bool = True,
 ) -> jnp.ndarray:
     b = pixels.shape[0]
     p = cfg.patch_size
@@ -125,6 +126,7 @@ def encode_image(
         up_gq=up_gq,
         mlp_full=mlp_full,
         attn_i8=attn_i8,
+        attn_block=attn_block,
     )
 
     pooled = x[:, 0, :]  # CLS (clip.cpp:1426-1430)

@@ -23,7 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["flat_eligible", "mha_pallas", "mha_pallas_qkv",
-           "mha_pallas_qkv_i8"]
+           "mha_pallas_qkv_i8", "attn_block_pallas", "attn_block_fusable"]
 
 NEG_INF = -1e9
 
@@ -306,6 +306,191 @@ def mha_pallas_qkv_i8(
         return (oc[: b * s].reshape(b, s, h),
                 osc[: b * s].reshape(b, s, 1))
     return out[: b * s].reshape(b, s, h)
+
+
+# ---------------------------------------------------------------------------
+# Whole-attention-block kernel: LN -> row quant -> int8 qkv GEMM -> per-head
+# block-diagonal attention -> row quant -> int8 o GEMM, in ONE VMEM pass.
+#
+# The round-4 production path ran lnq_pallas + an XLA int8 qkv GEMM + the
+# flat attention kernel + an XLA int8 o GEMM: the [rows, 3H] bf16 projection
+# (176 MB/layer at B/32 B=384) is written and read back between the GEMM and
+# the kernel.  Splitting the qkv GEMM into its own Pallas call lost (the
+# codes round-trip replaced the bf16 one — see the attn_i8 negative result);
+# fusing EVERYTHING wins: HBM sees only x bf16 in and the o-projected output
+# out.  Slope-timed 1.12x on the attention half at B/32 shapes
+# (scripts/proto_attnblock.py: 0.735 vs 0.82 ms/layer, depth-2 vs depth-14
+# residual chains).  Numerics: identical int8 staging to the staged path;
+# the only reassociation is the qkv bias added in f32 before the bf16 cast
+# (cos 0.9999 vs production per layer).
+# ---------------------------------------------------------------------------
+
+# Residency model (OVERESTIMATES — Mosaic reuses same-shape buffers; the
+# budget below is calibrated against observed compile outcomes, not 16 MB):
+# weights (int8 [3H,H] + [H_out,H_loc]) + per-block activations
+# rt*(7h + 6*3h + 5h_loc + 6o_out) + 8*rt^2 for the score/prob tiles.
+# Measured: B/32 rt=200 -> 8.5 MB compiles; L/14 rt=264 h=1024 -> 14.5 MB
+# compiles (and is perf-neutral in-model); L/14-336 rt=584 -> 28 MB and
+# H/14 rt=264 h=1280 -> 19.6 MB are gated off (H/14 raced separately).
+_ABLK_BUDGET = 15 * 1024 * 1024
+
+
+def _ablk_resid(rt: int, h: int, qkv_width: int, o_out: int) -> int:
+    h_loc = qkv_width // 3
+    weights = qkv_width * h + o_out * h_loc
+    return weights + rt * (7 * h + 6 * qkv_width + 5 * h_loc + 6 * o_out) \
+        + 8 * rt * rt
+
+
+def attn_block_fusable(h: int, qkv_width: int, o_out: int,
+                       b: int = 8, s: int = 8) -> bool:
+    """True iff the whole-attention-block kernel fits this geometry: both
+    projection weights VMEM-resident plus the row block's activation set
+    (pass the real (b, s) — the block row count rt drives the score tiles)."""
+    h_loc = qkv_width // 3
+    if h % 128 != 0 or h_loc % 128 != 0:
+        return False
+    bb = _flat_block_b(b, s, qkv_width)
+    if bb is None:
+        return False
+    return _ablk_resid(bb * s, h, qkv_width, o_out) <= _ABLK_BUDGET
+
+
+def _attn_block_kernel(x_ref, lw_ref, lb_ref, qw_ref, qws_ref, qb_ref,
+                       ow_ref, ows_ref, o_ref, *, n_head, seq_len, causal,
+                       scale, valid_len, eps):
+    rt = x_ref.shape[0]
+    h3 = qw_ref.shape[0]
+    hl = h3 // 3
+    dh = hl // n_head
+
+    # LN + per-row int8 quant (identical math to actquant_pallas.lnq_pallas)
+    xv = x_ref[:].astype(jnp.float32)
+    mu = jnp.mean(xv, axis=1, keepdims=True)
+    ms = jnp.mean(xv * xv, axis=1, keepdims=True)
+    var = jnp.maximum(ms - mu * mu, 0.0)
+    y = (xv - mu) * jax.lax.rsqrt(var + eps)
+    y = y * lw_ref[0, :].astype(jnp.float32) + lb_ref[0, :].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(y), axis=1, keepdims=True)
+    s1 = amax / 127.0 + 1e-12
+    c1 = jnp.clip(jnp.round(y / s1), -127, 127).astype(jnp.int8)
+
+    # int8 qkv projection (exact int32 accumulation), rescale + bias in f32
+    acc = jax.lax.dot_general(
+        c1, qw_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    qkv = (acc.astype(jnp.float32) * s1 * qws_ref[0, :]
+           + qb_ref[0, :]).astype(jnp.bfloat16)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (rt, rt), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rt, rt), 1)
+    invalid = (rows // seq_len) != (cols // seq_len)
+    if valid_len < seq_len:
+        invalid = jnp.logical_or(invalid, cols % seq_len >= valid_len)
+    if causal:
+        invalid = jnp.logical_or(invalid, cols % seq_len > rows % seq_len)
+    bias = jnp.where(invalid, NEG_INF, 0.0).astype(jnp.float32)
+
+    ct = (((1,), (1,)), ((), ()))
+    cn = (((1,), (0,)), ((), ()))
+    outs = []
+    for hd in range(n_head):
+        qs = slice(hd * dh, (hd + 1) * dh)
+        ks = slice(hl + hd * dh, hl + (hd + 1) * dh)
+        vs = slice(2 * hl + hd * dh, 2 * hl + (hd + 1) * dh)
+        qh = qkv[:, qs] * jnp.asarray(scale, qkv.dtype)
+        scores = jax.lax.dot_general(
+            qh, qkv[:, ks], ct, preferred_element_type=jnp.float32)
+        scores = scores + bias
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            p.astype(jnp.bfloat16), qkv[:, vs], cn,
+            preferred_element_type=jnp.float32))
+
+    yo = jnp.concatenate(outs, axis=1)               # [rt, hl] f32
+    amax2 = jnp.max(jnp.abs(yo), axis=1, keepdims=True)
+    s2 = amax2 / 127.0 + 1e-12
+    c2 = jnp.clip(jnp.round(yo / s2), -127, 127).astype(jnp.int8)
+    acc2 = jax.lax.dot_general(
+        c2, ow_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    o_ref[:] = (acc2.astype(jnp.float32) * s2 * ows_ref[0, :]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_head", "causal", "scale", "eps", "interpret",
+                     "valid_len", "out_dtype"),
+)
+def attn_block_pallas(
+    x: jnp.ndarray,
+    lnw, lnb, qw8, qws, qb, ow8, ows,
+    *,
+    n_head: int,
+    scale: float,
+    eps: float,
+    causal: bool = False,
+    interpret: bool = False,
+    valid_len: "int | None" = None,
+    out_dtype=jnp.bfloat16,
+):
+    """Whole attention block over the RAW residual ``x [B, S, H]`` ->
+    pre-bias o-projection output ``[B, S, H_out]`` (the o bias — and under
+    tensor parallelism the psum — happen outside, like ``w8a8_pre``).
+
+    ``qw8 [3H_loc, H]``/``qws``/``qb`` and ``ow8 [H_out, H_loc]``/``ows`` are
+    the int8 per-channel projection weights (this shard's, under TP).
+    Callers gate on :func:`flat_eligible`(b, s, 3*H_loc) AND
+    :func:`attn_block_fusable`."""
+    b, s, h = x.shape
+    h3 = qw8.shape[0]
+    h_out = ow8.shape[0]
+    vl = s if valid_len is None else valid_len
+
+    bb = _flat_block_b(b, s, h3)
+    if bb is None:
+        raise ValueError(
+            "attn_block_pallas requires the flat path: gate on flat_eligible")
+    rt = bb * s
+    b_pad = -(-b // bb) * bb
+    x2 = x.reshape(b * s, h)
+    if b_pad != b:
+        # zero pad rows: LN of a zero row is finite (rsqrt(eps)), stores of
+        # the pad block rows are sliced away below
+        x2 = jnp.pad(x2, ((0, (b_pad - b) * s), (0, 0)))
+    kernel = functools.partial(
+        _attn_block_kernel, n_head=n_head, seq_len=s, causal=causal,
+        scale=scale, valid_len=vl, eps=eps)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b_pad * s, h_out), out_dtype),
+        grid=(b_pad // bb,),
+        in_specs=[
+            pl.BlockSpec((rt, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h3, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_out, h3 // 3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rt, h_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * s * (h * h3 + h_out * (h3 // 3))
+            + 4 * b_pad * s * rt * (h3 // 3),
+            bytes_accessed=2 * b_pad * s * (h + h_out),
+            transcendentals=b_pad * n_head * s * rt,
+        ),
+    )(x2, lnw.reshape(1, h), lnb.reshape(1, h), qw8, qws.reshape(1, h3),
+      qb.reshape(1, h3), ow8, ows.reshape(1, h_out))
+    return out[: b * s].reshape(b, s, h_out)
 
 
 _FLAT_MAX_ROWS = 448    # multi-image blocks: bounds block-diagonal waste

@@ -101,14 +101,14 @@ def main():
     run_one("q4_bf16", pq)
     run_one("q4_w8a8", pw8)
     run_lnq_pair("lnq_pair", pw8)
-    run_one("lnq_gemm", pw8, lnq_fuse=True, mlp_full=False, attn_i8=False)
-    run_one("lnq_mlp", pw8, lnq_fuse=True, attn_i8=False)  # r4 whole-MLP kernel
-    run_one("lnq_full", pw8, lnq_fuse=True)  # r4 + int8-consuming attention
-    run_one("lnq_xlaq", pw8, lnq_fuse=True, attn_i8="xlaq")
+    run_one("lnq_gemm", pw8, lnq_fuse=True, mlp_full=False, attn_i8=False,
+            attn_block=False)
+    run_one("lnq_mlp", pw8, lnq_fuse=True, attn_block=False)  # r4 whole-MLP
+    run_one("lnq_ablk", pw8, lnq_fuse=True)  # r4 + whole-attention-block
     run_one("up_gq", pw8, up_gq=True, mlp_full=False)
     run_one("upgq_mlp", pw8, up_gq=True)     # codes-in whole-MLP kernel
     run_one("dense", pdense)
-    run_one("lnq_fullb", pw8, lnq_fuse=True)  # drift check
+    run_one("lnq_ablkb", pw8, lnq_fuse=True)  # drift check
 
 
 if __name__ == "__main__":

@@ -317,6 +317,33 @@ def test_attn_i8_route_matches_bf16_route(rng, mode):
     assert cos > 0.9999, cos
 
 
+@pytest.mark.parametrize("mode", ["plain", "causal", "valid_len"])
+def test_attn_block_route_matches_staged(rng, mode):
+    """The whole-attention-block kernel (LN + quant + int8 qkv GEMM +
+    attention + requant + int8 o GEMM in one pass) must track the staged
+    path within int8-staging noise in every mask mode; its int8 staging is
+    identical to the staged path's, the only reassociation being the qkv
+    bias added in f32 before the bf16 cast (cos > 0.9999)."""
+    from clip_tpu.ops.attention_pallas import attn_block_fusable
+
+    h, f, nh = 128, 512, 2
+    assert attn_block_fusable(h, 3 * h, h)
+    lp = _layer_params(rng, h, f)
+    for k in ("qkv_w", "o_w", "up_w", "down_w"):
+        lp[k] = to_w8tensor(lp[k])
+    x = jnp.asarray(rng.normal(0, 1, (4, 8, h)), jnp.float32)
+    kw = dict(n_head=nh, eps=EPS, use_gelu=False, compute_dtype=jnp.float32,
+              attn_impl="pallas", lnq_fuse=True,
+              causal=mode == "causal",
+              valid_len=6 if mode == "valid_len" else None)
+    a = np.asarray(transformer.block(x, lp, attn_block=True, **kw))
+    b = np.asarray(transformer.block(x, lp, attn_block=False, **kw))
+    np.testing.assert_allclose(a, b, atol=5e-2, rtol=5e-2)
+    cos = (a.ravel() * b.ravel()).sum() / (
+        np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.9999, cos
+
+
 def _w128_q4_gguf(tmp_path):
     """A 128-wide q4_0 checkpoint — the smallest width the fusion gate
     (128-lane tiling) accepts."""
