@@ -329,10 +329,12 @@ def mha_pallas_qkv_i8(
 # budget below is calibrated against observed compile outcomes, not 16 MB):
 # weights (int8 [3H,H] + [H_out,H_loc]) + per-block activations
 # rt*(7h + 6*3h + 5h_loc + 6o_out) + 8*rt^2 for the score/prob tiles.
-# Measured: B/32 rt=200 -> 8.5 MB compiles; L/14 rt=264 h=1024 -> 14.5 MB
-# compiles (and is perf-neutral in-model); L/14-336 rt=584 -> 28 MB and
-# H/14 rt=264 h=1280 -> 19.6 MB are gated off (H/14 raced separately).
-_ABLK_BUDGET = 15 * 1024 * 1024
+# Measured: B/32 rt=200 -> 7.8 MB compiles (+4.4% in-model); L/14 rt=264
+# h=1024 -> 13.8 MB compiles (perf-neutral); H/14 rt=264 h=1280 -> 18.4 MB
+# compiles AND slope-wins 1.14x (proto_attnblock 32 264 1280 16); L/14-336
+# rt=584 -> 27.1 MB is gated off (unraced — Mosaic may reject the 584-row
+# score tiles with the resident weights).
+_ABLK_BUDGET = 19 * 1024 * 1024
 
 
 def _ablk_resid(rt: int, h: int, qkv_width: int, o_out: int) -> int:
