@@ -34,9 +34,9 @@ import sys
 import time
 
 BASELINE_IMAGES_PER_SEC = 20.0
-BATCH = 384  # knee re-swept after the ragged kernels: 384 divides the gemm_gq
-             # 256-row blocks exactly (no tail) and wins 17,955-17,969 vs
-             # 17,683-17,727 img/s at 448, in-window (.cache/round3/b32_knee.log)
+BATCH = 384  # knee re-swept round 4 under the fused-block kernels: 384 -> 18.1k,
+             # 416 -> 18.0k, 448 -> 18.1k, 512 -> 17.5k in-window (scripts/bench_knee.py);
+             # 384 also divides the gemm_gq/attention row blocks exactly
 ITERS_PER_ROUND = 20   # deep dispatch pipeline: hides the relay's per-call cost
 ROUNDS = 5
 
@@ -98,9 +98,12 @@ def main() -> None:
             normalize=True,
             compute_dtype=jnp.bfloat16,
             # scan (not unroll): with W8A8 scan is FASTER (31.1 vs 32.6 ms at
-            # B=448) *and* avoids round-2's 556 s unroll compile
-            # fused Pallas LN/gelu->int8-quant producers (engine TPU default):
-            # 30.85 -> 28.42 ms at B=448 (scripts/bench_w8a8_model.py)
+            # B=448) *and* avoids round-2's 556 s unroll compile.
+            # lnq_fuse engages the round-4 per-layer hot path: TWO Pallas
+            # kernels — the whole-attention-block kernel (LN+quant+int8 qkv
+            # GEMM+attention+requant+int8 o GEMM) and the whole-MLP kernel
+            # (LN+quant+int8 up GEMM+gelu+requant+int8 down GEMM) — plus the
+            # residual adds (scripts/bench_w8a8_model.py round-4 A/Bs)
             lnq_fuse=jax.default_backend() == "tpu",
         )
 
