@@ -58,8 +58,16 @@ def attention(
     qmm_backend: str | None = None, tp_axis: str | None = None,
     valid_len: int | None = None, ln=None, lnq_fuse: bool = False,
     attn_i8: bool = False, attn_block: bool = True,
+    add_residual: bool = False,
 ):
     """Multi-head self-attention over ``x [B, S, H]``.
+
+    ``add_residual=True`` returns ``x + attn(x)`` instead of the projection
+    alone (requires ``ln`` — x must be the raw residual stream): on the
+    whole-attention-block kernel route the add happens in the kernel's
+    epilogue (the residual stream is already VMEM-resident there), deleting
+    two XLA passes over [rows, H] per layer; other routes add at the XLA
+    level, so callers get one contract everywhere.
 
     Q/K/V use one fused [3H, H] projection (see models.params): a single wide
     GEMM instead of three narrow ones — the narrow-N case leaves most of the
@@ -81,6 +89,12 @@ def attention(
     b, s, h = x.shape
     d_head = h // n_head
     scale = 1.0 / (d_head ** 0.5)
+    if add_residual and ln is None:
+        raise ValueError("add_residual=True requires ln (raw residual input)")
+    x_res = x
+
+    def fin(proj):
+        return x_res + proj if add_residual else proj
 
     impl = resolve_attn_impl(attn_impl)
     fused_lnq = (
@@ -107,6 +121,16 @@ def attention(
                 and flat_eligible(b, s, qkv_width)
                 and attn_block_fusable(h, qkv_width, lp["o_w"].shape[0],
                                        b, s)):
+            if add_residual and tp_axis is None:
+                # bias + residual folded into the kernel epilogue; under TP
+                # the psum must come before both, so this stays single-shard
+                return attn_block_pallas(
+                    x, ln[0], ln[1], lp["qkv_w"].c8, lp["qkv_w"].ws,
+                    lp["qkv_b"], lp["o_w"].c8, lp["o_w"].ws, lp["o_b"],
+                    n_head=qkv_width // 3 // (h // n_head),
+                    scale=scale, eps=float(ln[2]), causal=causal,
+                    interpret=interp, valid_len=valid_len,
+                    out_dtype=compute_dtype, residual=True)
             proj = attn_block_pallas(
                 x, ln[0], ln[1], lp["qkv_w"].c8, lp["qkv_w"].ws,
                 lp["qkv_b"], lp["o_w"].c8, lp["o_w"].ws,
@@ -116,7 +140,7 @@ def attention(
                 out_dtype=compute_dtype)
             if tp_axis is not None:
                 proj = jax.lax.psum(proj, tp_axis)
-            return proj + lp["o_b"].astype(proj.dtype)
+            return fin(proj + lp["o_b"].astype(proj.dtype))
         # one VMEM pass: LN + per-row amax + int8 quantize, straight into the
         # int8 MXU dot (w8a8_matmul's shape logic already runs every GEMM as
         # a 2-D dot, so this changes only operand production, not layout)
@@ -171,7 +195,7 @@ def attention(
                               backend=qmm_backend)
             if tp_axis is not None:
                 proj = jax.lax.psum(proj, tp_axis)
-            return proj + lp["o_b"].astype(proj.dtype)
+            return fin(proj + lp["o_b"].astype(proj.dtype))
         qkv = w8a8_pre(codes, sx, lp["qkv_w"], compute_dtype)
         qkv = (qkv + lp["qkv_b"].astype(qkv.dtype)).reshape(b, s, -1)
     elif impl == "pallas" and flat_eligible(b, s, qkv_width):
@@ -212,7 +236,7 @@ def attention(
             lp["o_w"], compute_dtype).reshape(b, s, -1)
         if tp_axis is not None:
             proj = jax.lax.psum(proj, tp_axis)
-        return proj + lp["o_b"].astype(proj.dtype)
+        return fin(proj + lp["o_b"].astype(proj.dtype))
 
     if impl == "pallas":
         # fused qkv goes straight into the kernel: no split/scale/pad passes
@@ -241,7 +265,7 @@ def attention(
                   compute_dtype=compute_dtype, backend=qmm_backend)
     if tp_axis is not None:
         proj = jax.lax.psum(proj, tp_axis) + lp["o_b"].astype(proj.dtype)
-    return proj
+    return fin(proj)
 
 
 def block(x, lp, *, n_head, eps, use_gelu, causal=False,
@@ -249,12 +273,13 @@ def block(x, lp, *, n_head, eps, use_gelu, causal=False,
           qmm_backend=None, tp_axis=None, valid_len=None,
           lnq_fuse=False, up_gq=False, mlp_full=True, attn_i8=False,
           attn_block=True):
-    x = x + attention(x, lp, n_head=n_head, causal=causal,
-                      compute_dtype=compute_dtype, attn_impl=attn_impl,
-                      qmm_backend=qmm_backend, tp_axis=tp_axis,
-                      valid_len=valid_len,
-                      ln=(lp["ln1_w"], lp["ln1_b"], eps), lnq_fuse=lnq_fuse,
-                      attn_i8=attn_i8, attn_block=attn_block)
+    x = attention(x, lp, n_head=n_head, causal=causal,
+                  compute_dtype=compute_dtype, attn_impl=attn_impl,
+                  qmm_backend=qmm_backend, tp_axis=tp_axis,
+                  valid_len=valid_len,
+                  ln=(lp["ln1_w"], lp["ln1_b"], eps), lnq_fuse=lnq_fuse,
+                  attn_i8=attn_i8, attn_block=attn_block,
+                  add_residual=True)
 
     fuse_mlp = (
         lnq_fuse
@@ -275,6 +300,16 @@ def block(x, lp, *, n_head, eps, use_gelu, causal=False,
     if full:
         bb, ss, hh = x.shape
         interp = jax.default_backend() != "tpu"
+        if tp_axis is None:
+            # down bias + residual folded into the kernel epilogue — the
+            # layer is now exactly two Pallas calls joined by the residual
+            # stream, with no XLA elementwise passes between them
+            return mlp_lnq_pallas(
+                x.reshape(bb * ss, hh), lp["ln2_w"], lp["ln2_b"],
+                lp["up_w"].c8, lp["up_w"].ws, lp["up_b"],
+                lp["down_w"].c8, lp["down_w"].ws, lp["down_b"],
+                eps=float(eps), act=act, interpret=interp,
+                out_dtype=compute_dtype, residual=True).reshape(bb, ss, -1)
         h = mlp_lnq_pallas(
             x.reshape(bb * ss, hh), lp["ln2_w"], lp["ln2_b"],
             lp["up_w"].c8, lp["up_w"].ws, lp["up_b"],

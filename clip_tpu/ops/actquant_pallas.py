@@ -331,17 +331,51 @@ def mlp_gq_pallas(codes, sx, up8, upws, upb, dn8, dnws, *,
     )(codes, sx, up8, upws2, upb2, dn8, dnws2)
 
 
+def _mlp_half(x, lw_ref, lb_ref, uw_ref, uws_ref, ub_ref, dw_ref, dws_ref,
+              db_ref, *, eps, act, cdt, residual):
+    """The whole-MLP math over one row block ``x [rt, H]``: LN -> int8 row
+    quant -> up GEMM -> gelu -> requant -> down GEMM (-> +bias -> +residual).
+    Shared by the MLP kernel and the whole-layer kernel."""
+    xv = x.astype(jnp.float32)
+    mu = jnp.mean(xv, axis=1, keepdims=True)
+    ms = jnp.mean(xv * xv, axis=1, keepdims=True)
+    var = jnp.maximum(ms - mu * mu, 0.0)
+    y = (xv - mu) * jax.lax.rsqrt(var + eps)
+    y = y * lw_ref[0, :].astype(jnp.float32) + lb_ref[0, :].astype(jnp.float32)
+    c1, s1 = _quantize_rows(y)
+    t = _mlp_body(
+        c1, s1, uw_ref, uws_ref, ub_ref, dw_ref, dws_ref, act).astype(cdt)
+    if db_ref is not None:
+        # same dtype, same add order as the XLA ops this replaces:
+        # x + (mlp_out_cdt + bias_cdt)
+        t = t + db_ref[0, :].astype(cdt)
+        if residual:
+            t = x.astype(cdt) + t
+    return t
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("eps", "act", "block_rows", "interpret", "out_dtype"))
-def mlp_lnq_pallas(x, lnw, lnb, up8, upws, upb, dn8, dnws, *, eps: float,
-                   act: str = "gelu_quick", block_rows: int | None = None,
-                   interpret: bool = False, out_dtype=jnp.bfloat16):
+    static_argnames=("eps", "act", "block_rows", "interpret", "out_dtype",
+                     "residual"))
+def mlp_lnq_pallas(x, lnw, lnb, up8, upws, upb, dn8, dnws, dnb=None, *,
+                   eps: float, act: str = "gelu_quick",
+                   block_rows: int | None = None,
+                   interpret: bool = False, out_dtype=jnp.bfloat16,
+                   residual: bool = False):
     """Raw bf16 residual in -> LN -> quant -> whole MLP -> bf16 out.  One
     kernel replaces the lnq_pallas + gemm_gq_pallas + w8a8_pre chain: the
-    LN'd codes and the 4H intermediate both stay in VMEM."""
+    LN'd codes and the 4H intermediate both stay in VMEM.
+
+    With ``dnb`` (the down bias) the epilogue adds it in-kernel, and with
+    ``residual=True`` the kernel emits ``x + mlp(ln(x))`` directly — the two
+    trailing XLA passes over the [rows, H] residual stream disappear (x is
+    already VMEM-resident from the LN read).  Without ``dnb`` the output is
+    pre-bias, for tensor parallelism where the psum must come first."""
     if act not in ("gelu_quick", "gelu_tanh", "none"):
         raise ValueError(f"unknown act {act!r}")
+    if residual and dnb is None:
+        raise ValueError("residual=True requires dnb")
     m, k = x.shape
     n = up8.shape[0]
     br = block_rows or _mlp_block_rows(m, n, k, with_ln=True)
@@ -350,37 +384,42 @@ def mlp_lnq_pallas(x, lnw, lnb, up8, upws, upb, dn8, dnws, *, eps: float,
     lnw2, lnb2 = lnw.reshape(1, k), lnb.reshape(1, k)
     upws2, upb2, dnws2 = upws.reshape(1, n), upb.reshape(1, n), dnws.reshape(1, k)
 
-    def kernel(x_ref, lw_ref, lb_ref, uw_ref, uws_ref, ub_ref, dw_ref,
-               dws_ref, o_ref):
-        xv = x_ref[:].astype(jnp.float32)
-        mu = jnp.mean(xv, axis=1, keepdims=True)
-        ms = jnp.mean(xv * xv, axis=1, keepdims=True)
-        var = jnp.maximum(ms - mu * mu, 0.0)
-        y = (xv - mu) * jax.lax.rsqrt(var + eps)
-        y = y * lw_ref[0, :].astype(jnp.float32) + lb_ref[0, :].astype(jnp.float32)
-        c1, s1 = _quantize_rows(y)
-        o_ref[:] = _mlp_body(
-            c1, s1, uw_ref, uws_ref, ub_ref, dw_ref, dws_ref,
-            act).astype(o_ref.dtype)
+    def body(x_ref, lw_ref, lb_ref, uw_ref, uws_ref, ub_ref, dw_ref,
+             dws_ref, db_ref, o_ref):
+        o_ref[:] = _mlp_half(
+            x_ref[:], lw_ref, lb_ref, uw_ref, uws_ref, ub_ref, dw_ref,
+            dws_ref, db_ref, eps=eps, act=act, cdt=o_ref.dtype,
+            residual=residual)
 
+    if dnb is None:
+        def kernel(x_ref, lw, lb, uw, uws, ub, dw, dws, o_ref):
+            body(x_ref, lw, lb, uw, uws, ub, dw, dws, None, o_ref)
+    else:
+        kernel = body
+    in_specs = [
+        pl.BlockSpec((br, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [x, lnw2, lnb2, up8, upws2, upb2, dn8, dnws2]
+    if dnb is not None:
+        in_specs.append(
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        operands.append(dnb.reshape(1, k))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((m, k), out_dtype),
         grid=(pl.cdiv(m, br),),
-        in_specs=[
-            pl.BlockSpec((br, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((br, k), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x, lnw2, lnb2, up8, upws2, upb2, dn8, dnws2)
+    )(*operands)
 
 
 def w8a8_pre(codes, sx, w: W8Tensor, compute_dtype=jnp.bfloat16):

@@ -23,7 +23,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["flat_eligible", "mha_pallas", "mha_pallas_qkv",
-           "mha_pallas_qkv_i8", "attn_block_pallas", "attn_block_fusable"]
+           "mha_pallas_qkv_i8", "attn_block_pallas", "attn_block_fusable",
+           "layer_block_pallas", "layer_block_fusable"]
 
 NEG_INF = -1e9
 
@@ -358,16 +359,20 @@ def attn_block_fusable(h: int, qkv_width: int, o_out: int,
     return _ablk_resid(bb * s, h, qkv_width, o_out) <= _ABLK_BUDGET
 
 
-def _attn_block_kernel(x_ref, lw_ref, lb_ref, qw_ref, qws_ref, qb_ref,
-                       ow_ref, ows_ref, o_ref, *, n_head, seq_len, causal,
-                       scale, valid_len, eps):
-    rt = x_ref.shape[0]
+def _attn_half(x, lw_ref, lb_ref, qw_ref, qws_ref, qb_ref, ow_ref, ows_ref,
+               ob_ref, *, n_head, seq_len, causal, scale, valid_len, eps,
+               cdt, residual):
+    """The whole-attention-block math over one row block ``x [rt, H]``:
+    LN -> int8 row quant -> int8 qkv GEMM -> block-diagonal per-head
+    attention -> row requant -> int8 o GEMM (-> +bias -> +residual).
+    Shared by the attention-block kernel and the whole-layer kernel."""
+    rt = x.shape[0]
     h3 = qw_ref.shape[0]
     hl = h3 // 3
     dh = hl // n_head
 
     # LN + per-row int8 quant (identical math to actquant_pallas.lnq_pallas)
-    xv = x_ref[:].astype(jnp.float32)
+    xv = x.astype(jnp.float32)
     mu = jnp.mean(xv, axis=1, keepdims=True)
     ms = jnp.mean(xv * xv, axis=1, keepdims=True)
     var = jnp.maximum(ms - mu * mu, 0.0)
@@ -377,12 +382,15 @@ def _attn_block_kernel(x_ref, lw_ref, lb_ref, qw_ref, qws_ref, qb_ref,
     s1 = amax / 127.0 + 1e-12
     c1 = jnp.clip(jnp.round(y / s1), -127, 127).astype(jnp.int8)
 
-    # int8 qkv projection (exact int32 accumulation), rescale + bias in f32
+    # int8 qkv projection (exact int32 accumulation), rescale + bias in f32.
+    # Internal activation dtype follows the block's compute dtype (cdt):
+    # bf16 in production; f32 compute (tests, CPU parity) stays f32 so the
+    # kernel tracks the staged path at its precision, not a fixed bf16.
     acc = jax.lax.dot_general(
         c1, qw_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)
     qkv = (acc.astype(jnp.float32) * s1 * qws_ref[0, :]
-           + qb_ref[0, :]).astype(jnp.bfloat16)
+           + qb_ref[0, :]).astype(cdt)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (rt, rt), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (rt, rt), 1)
@@ -408,7 +416,7 @@ def _attn_block_kernel(x_ref, lw_ref, lb_ref, qw_ref, qws_ref, qb_ref,
         p = jnp.exp(scores)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         outs.append(jax.lax.dot_general(
-            p.astype(jnp.bfloat16), qkv[:, vs], cn,
+            p.astype(cdt), qkv[:, vs], cn,
             preferred_element_type=jnp.float32))
 
     yo = jnp.concatenate(outs, axis=1)               # [rt, hl] f32
@@ -418,17 +426,36 @@ def _attn_block_kernel(x_ref, lw_ref, lb_ref, qw_ref, qws_ref, qb_ref,
     acc2 = jax.lax.dot_general(
         c2, ow_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)
-    o_ref[:] = (acc2.astype(jnp.float32) * s2 * ows_ref[0, :]).astype(o_ref.dtype)
+    t = (acc2.astype(jnp.float32) * s2 * ows_ref[0, :]).astype(cdt)
+    if ob_ref is not None:
+        # o bias + residual stream folded into the epilogue: the block's two
+        # trailing XLA passes over [rows, H] (proj+bias, x+proj) disappear —
+        # x is already VMEM-resident from the LN read.  Same dtype, same add
+        # order as the XLA ops they replace: x + (proj_cdt + bias_cdt).
+        t = t + ob_ref[0, :].astype(cdt)
+        if residual:
+            t = x.astype(cdt) + t
+    return t
+
+
+def _attn_block_kernel(x_ref, lw_ref, lb_ref, qw_ref, qws_ref, qb_ref,
+                       ow_ref, ows_ref, ob_ref, o_ref, *, n_head, seq_len,
+                       causal, scale, valid_len, eps, residual):
+    o_ref[:] = _attn_half(
+        x_ref[:], lw_ref, lb_ref, qw_ref, qws_ref, qb_ref, ow_ref, ows_ref,
+        ob_ref, n_head=n_head, seq_len=seq_len, causal=causal, scale=scale,
+        valid_len=valid_len, eps=eps, cdt=o_ref.dtype, residual=residual)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_head", "causal", "scale", "eps", "interpret",
-                     "valid_len", "out_dtype"),
+                     "valid_len", "out_dtype", "residual"),
 )
 def attn_block_pallas(
     x: jnp.ndarray,
     lnw, lnb, qw8, qws, qb, ow8, ows,
+    ob=None,
     *,
     n_head: int,
     scale: float,
@@ -437,10 +464,17 @@ def attn_block_pallas(
     interpret: bool = False,
     valid_len: "int | None" = None,
     out_dtype=jnp.bfloat16,
+    residual: bool = False,
 ):
     """Whole attention block over the RAW residual ``x [B, S, H]`` ->
-    pre-bias o-projection output ``[B, S, H_out]`` (the o bias — and under
-    tensor parallelism the psum — happen outside, like ``w8a8_pre``).
+    o-projection output ``[B, S, H_out]``.
+
+    With ``ob`` (the o bias) the epilogue adds it in-kernel, and with
+    ``residual=True`` (requires H_out == H and ``ob``) the kernel emits
+    ``x + attn(x)`` directly — the residual stream never takes the two
+    separate XLA passes (bias add, residual add).  Without ``ob`` the output
+    is pre-bias, for tensor parallelism where the psum must come first
+    (like ``w8a8_pre``).
 
     ``qw8 [3H_loc, H]``/``qws``/``qb`` and ``ow8 [H_out, H_loc]``/``ows`` are
     the int8 per-channel projection weights (this shard's, under TP).
@@ -449,6 +483,8 @@ def attn_block_pallas(
     b, s, h = x.shape
     h3 = qw8.shape[0]
     h_out = ow8.shape[0]
+    if residual and (ob is None or h_out != h):
+        raise ValueError("residual=True requires ob and H_out == H")
     vl = s if valid_len is None else valid_len
 
     bb = _flat_block_b(b, s, h3)
@@ -462,25 +498,38 @@ def attn_block_pallas(
         # zero pad rows: LN of a zero row is finite (rsqrt(eps)), stores of
         # the pad block rows are sliced away below
         x2 = jnp.pad(x2, ((0, (b_pad - b) * s), (0, 0)))
-    kernel = functools.partial(
+    base = functools.partial(
         _attn_block_kernel, n_head=n_head, seq_len=s, causal=causal,
-        scale=scale, valid_len=vl, eps=eps)
+        scale=scale, valid_len=vl, eps=eps, residual=residual)
+    if ob is None:
+        def kernel(x_ref, lw, lb, qw, qws_r, qb_r, ow, ows_r, o_ref):
+            base(x_ref, lw, lb, qw, qws_r, qb_r, ow, ows_r, None, o_ref)
+    else:
+        kernel = base
+    in_specs = [
+        pl.BlockSpec((rt, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h3, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h_out, h3 // 3), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h_out), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x2, lnw.reshape(1, h), lnb.reshape(1, h), qw8,
+                qws.reshape(1, h3), qb.reshape(1, h3), ow8,
+                ows.reshape(1, h_out)]
+    if ob is not None:
+        in_specs.append(pl.BlockSpec((1, h_out), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(ob.reshape(1, h_out))
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b_pad * s, h_out), out_dtype),
         grid=(b_pad // bb,),
-        in_specs=[
-            pl.BlockSpec((rt, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((h3, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((h_out, h3 // 3), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h_out), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((rt, h_out), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
@@ -490,9 +539,142 @@ def attn_block_pallas(
             bytes_accessed=2 * b_pad * s * (h + h_out),
             transcendentals=b_pad * n_head * s * rt,
         ),
-    )(x2, lnw.reshape(1, h), lnb.reshape(1, h), qw8, qws.reshape(1, h3),
-      qb.reshape(1, h3), ow8, ows.reshape(1, h_out))
+    )(*operands)
     return out[: b * s].reshape(b, s, h_out)
+
+
+# ---------------------------------------------------------------------------
+# Whole-LAYER kernel: attention block + MLP block in ONE pallas_call.
+# The two-kernel layer still writes the mid-layer residual (x + attn) to HBM
+# for the MLP kernel to read straight back (2 x rows x H bytes/layer), and
+# pays two custom-call boundaries per layer — the boundary cost is what made
+# the int8-consuming attention route lose in-model (see attn_i8 notes).  At
+# widths where ALL FOUR int8 weight matrices fit VMEM alongside the row
+# block's activation set, one kernel runs the entire transformer layer:
+# HBM sees x in, layer(x) out.  Numerics: same ops at the same precision as
+# the two-kernel path, but the compiler may DEFER the mid-residual's bf16
+# rounding inside the fused program (the two-kernel path's store forces it),
+# so x_mid can drift by 1 bf16 ulp and the MLP requant by +-1 code — the
+# same drift class as attn_block-vs-staged (cos > 0.9999, tolerance-gated).
+# ---------------------------------------------------------------------------
+
+# Calibrated on compile outcomes like _ABLK_BUDGET: the layer kernel holds
+# the attention residency plus the MLP weights (12*H^2 int8 at 4H MLPs) and
+# the [rt, 4H] int32/f32 intermediates.
+_LAYER_BUDGET = 26 * 1024 * 1024
+
+
+def _layer_resid(rt: int, h: int, qkv_width: int, o_out: int,
+                 n4h: int) -> int:
+    return (_ablk_resid(rt, h, qkv_width, o_out)
+            + 2 * n4h * h + rt * 10 * n4h)
+
+
+def layer_block_fusable(h: int, qkv_width: int, o_out: int, n4h: int,
+                        b: int = 8, s: int = 8) -> bool:
+    """True iff the whole-layer kernel fits this geometry (single-shard
+    only: both residuals are folded in, so TP's psums can't intervene)."""
+    if not attn_block_fusable(h, qkv_width, o_out, b, s):
+        return False
+    if o_out != h or qkv_width != 3 * h:
+        return False
+    bb = _flat_block_b(b, s, qkv_width)
+    return _layer_resid(bb * s, h, qkv_width, o_out, n4h) <= _LAYER_BUDGET
+
+
+def _layer_kernel(x_ref, l1w, l1b, qw, qws, qb, ow, ows, ob,
+                  l2w, l2b, uw, uws, ub, dw, dws, db, o_ref, *,
+                  n_head, seq_len, causal, scale, valid_len, eps, act):
+    from .actquant_pallas import _mlp_half
+
+    cdt = o_ref.dtype
+    x_mid = _attn_half(
+        x_ref[:], l1w, l1b, qw, qws, qb, ow, ows, ob,
+        n_head=n_head, seq_len=seq_len, causal=causal, scale=scale,
+        valid_len=valid_len, eps=eps, cdt=cdt, residual=True)
+    o_ref[:] = _mlp_half(
+        x_mid, l2w, l2b, uw, uws, ub, dw, dws, db,
+        eps=eps, act=act, cdt=cdt, residual=True)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_head", "causal", "scale", "eps", "act", "interpret",
+                     "valid_len", "out_dtype"),
+)
+def layer_block_pallas(
+    x: jnp.ndarray,
+    l1w, l1b, qw8, qws, qb, ow8, ows, ob,
+    l2w, l2b, up8, upws, upb, dn8, dnws, dnb,
+    *,
+    n_head: int,
+    scale: float,
+    eps: float,
+    act: str = "gelu_quick",
+    causal: bool = False,
+    interpret: bool = False,
+    valid_len: "int | None" = None,
+    out_dtype=jnp.bfloat16,
+):
+    """One full transformer layer over the RAW residual ``x [B, S, H]`` ->
+    ``x + attn(ln1(x)) + mlp(ln2(x + attn(ln1(x)))) [B, S, H]`` in a single
+    VMEM pass (both residuals and biases folded in).  Single-shard only —
+    callers gate on :func:`layer_block_fusable`."""
+    if act not in ("gelu_quick", "gelu_tanh", "none"):
+        raise ValueError(f"unknown act {act!r}")
+    b, s, h = x.shape
+    h3 = qw8.shape[0]
+    n4h = up8.shape[0]
+    vl = s if valid_len is None else valid_len
+
+    bb = _flat_block_b(b, s, h3)
+    if bb is None:
+        raise ValueError(
+            "layer_block_pallas requires the flat path: gate on flat_eligible")
+    rt = bb * s
+    b_pad = -(-b // bb) * bb
+    x2 = x.reshape(b * s, h)
+    if b_pad != b:
+        x2 = jnp.pad(x2, ((0, (b_pad - b) * s), (0, 0)))
+    kernel = functools.partial(
+        _layer_kernel, n_head=n_head, seq_len=s, causal=causal,
+        scale=scale, valid_len=vl, eps=eps, act=act)
+
+    def col(i):
+        return (i, 0)
+
+    def rep(i):
+        return (0, 0)
+
+    in_specs = [pl.BlockSpec((rt, h), col, memory_space=pltpu.VMEM)] + [
+        pl.BlockSpec(spec, rep, memory_space=pltpu.VMEM)
+        for spec in (
+            (1, h), (1, h),                    # ln1
+            (h3, h), (1, h3), (1, h3),         # qkv w/ws/b
+            (h, h), (1, h), (1, h),            # o w/ws/b
+            (1, h), (1, h),                    # ln2
+            (n4h, h), (1, n4h), (1, n4h),      # up w/ws/b
+            (h, n4h), (1, h), (1, h),          # down w/ws/b
+        )
+    ]
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b_pad * s, h), out_dtype),
+        grid=(b_pad // bb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((rt, h), col, memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * s * (h * h3 + h * h + 2 * h * n4h)
+            + 4 * b_pad * s * rt * h,
+            bytes_accessed=4 * b_pad * s * h,
+            transcendentals=b_pad * s * (n_head * rt + n4h),
+        ),
+    )(x2, l1w.reshape(1, h), l1b.reshape(1, h), qw8, qws.reshape(1, h3),
+      qb.reshape(1, h3), ow8, ows.reshape(1, h), ob.reshape(1, h),
+      l2w.reshape(1, h), l2b.reshape(1, h), up8, upws.reshape(1, n4h),
+      upb.reshape(1, n4h), dn8, dnws.reshape(1, h), dnb.reshape(1, h))
+    return out[: b * s].reshape(b, s, h)
 
 
 _FLAT_MAX_ROWS = 448    # multi-image blocks: bounds block-diagonal waste

@@ -132,12 +132,14 @@ def time_mode(name, fn, params, pixels, patch=None):
         def attn_skip(x, lp, **kw):
             from clip_tpu.ops.linear import linear
             from clip_tpu.ops.nn import layernorm
+            x_res = x
             ln = kw.get("ln")
             if ln is not None:  # block delegates pre-LN to attention now
                 x = layernorm(x, ln[0], ln[1], ln[2])
             qkv = linear(x, lp["qkv_w"], lp["qkv_b"], compute_dtype=x.dtype)
             q = jnp.split(qkv, 3, axis=-1)[0]
-            return linear(q, lp["o_w"], lp["o_b"], compute_dtype=x.dtype)
+            out = linear(q, lp["o_w"], lp["o_b"], compute_dtype=x.dtype)
+            return x_res + out if kw.get("add_residual") else out
         transformer.attention = attn_skip
     try:
         out = fn(params, pixels)

@@ -279,13 +279,20 @@ def test_block_mlp_full_matches_staged(rng):
     lp = _layer_params(rng, h, f)
     for k in ("qkv_w", "o_w", "up_w", "down_w"):
         lp[k] = to_w8tensor(lp[k])
-    x = jnp.asarray(rng.normal(0, 1, (2, 10, h)), jnp.float32)
-    kw = dict(n_head=4, eps=EPS, use_gelu=False,
-              compute_dtype=jnp.float32, attn_impl="xla", lnq_fuse=True)
     assert mlp_fusable(h, f)
-    a = transformer.block(x, lp, mlp_full=True, **kw)
-    b = transformer.block(x, lp, mlp_full=False, **kw)
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # bf16 (production) is bit-equal; at f32 the fused kernel's residual
+    # epilogue may FMA-contract the final mul+add (no rounding barrier at
+    # the no-op astype), so 1-ulp drift is legal there
+    for dt, exact in ((jnp.bfloat16, True), (jnp.float32, False)):
+        x = jnp.asarray(rng.normal(0, 1, (2, 10, h)), dt)
+        kw = dict(n_head=4, eps=EPS, use_gelu=False,
+                  compute_dtype=dt, attn_impl="xla", lnq_fuse=True)
+        a = np.asarray(transformer.block(x, lp, mlp_full=True, **kw), np.float32)
+        b = np.asarray(transformer.block(x, lp, mlp_full=False, **kw), np.float32)
+        if exact:
+            np.testing.assert_array_equal(a, b)
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
 
     # the production fallback boundary: H/14's 1280x5120 exceeds the budget
     assert not mlp_fusable(1280, 5120)
@@ -514,3 +521,77 @@ def test_attention_quant_epilogue_matches_unfused(rng):
     out2 = transformer.block(x2, lp, lnq_fuse=True, attn_i8=False, **kw)
     np.testing.assert_allclose(
         np.asarray(out2), np.asarray(ref2), rtol=3e-3, atol=3e-3)
+
+
+def test_mlp_residual_epilogue_bitmatch(rng):
+    """mlp_lnq_pallas with the down-bias + residual epilogue must BIT-match
+    the separate XLA adds it replaces (same dtype, same add order:
+    x + (out_cdt + bias_cdt)), ragged tail included."""
+    from clip_tpu.ops.actquant_pallas import mlp_lnq_pallas
+
+    h, f, rows = 128, 512, 52  # ragged: not a block multiple
+    x = jnp.asarray(rng.normal(0, 1, (rows, h)), jnp.bfloat16)
+    lnw = jnp.asarray(rng.normal(1, 0.05, h), jnp.float32)
+    lnb = jnp.asarray(rng.normal(0, 0.05, h), jnp.float32)
+    up = to_w8tensor(jnp.asarray(rng.normal(0, 0.05, (f, h)), jnp.float32))
+    dn = to_w8tensor(jnp.asarray(rng.normal(0, 0.05, (h, f)), jnp.float32))
+    upb = jnp.asarray(rng.normal(0, 0.05, f), jnp.float32)
+    dnb = jnp.asarray(rng.normal(0, 0.05, h), jnp.float32)
+
+    # bf16 (the production compute dtype) must BIT-match: the astype forces a
+    # rounding barrier before the adds.  At f32 the astype is a no-op and XLA
+    # may contract the epilogue's mul+add into an FMA, so 1-ulp drift is legal.
+    for dt, exact in ((jnp.bfloat16, True), (jnp.float32, False)):
+        pre = mlp_lnq_pallas(x, lnw, lnb, up.c8, up.ws, upb, dn.c8, dn.ws,
+                             eps=EPS, interpret=INTERP, out_dtype=dt)
+        ref = x.astype(dt) + (pre + dnb.astype(dt))
+        got = mlp_lnq_pallas(x, lnw, lnb, up.c8, up.ws, upb, dn.c8, dn.ws,
+                             dnb, eps=EPS, interpret=INTERP, out_dtype=dt,
+                             residual=True)
+        if exact:
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        else:
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+    with pytest.raises(ValueError, match="residual"):
+        mlp_lnq_pallas(x, lnw, lnb, up.c8, up.ws, upb, dn.c8, dn.ws,
+                       eps=EPS, interpret=INTERP, residual=True)
+
+
+@pytest.mark.parametrize("mode", ["plain", "causal", "valid_len"])
+def test_attn_block_residual_epilogue_bitmatch(rng, mode):
+    """attn_block_pallas with the o-bias + residual epilogue must BIT-match
+    the separate XLA adds it replaces in every mask mode."""
+    from clip_tpu.ops.attention_pallas import attn_block_pallas
+
+    h, nh, b, s = 128, 2, 3, 8  # b*s not a block multiple of bb*s
+    x = jnp.asarray(rng.normal(0, 1, (b, s, h)), jnp.bfloat16)
+    lnw = jnp.asarray(rng.normal(1, 0.05, h), jnp.float32)
+    lnb = jnp.asarray(rng.normal(0, 0.05, h), jnp.float32)
+    qw = to_w8tensor(jnp.asarray(rng.normal(0, 0.05, (3 * h, h)), jnp.float32))
+    ow = to_w8tensor(jnp.asarray(rng.normal(0, 0.05, (h, h)), jnp.float32))
+    qb = jnp.asarray(rng.normal(0, 0.05, 3 * h), jnp.float32)
+    ob = jnp.asarray(rng.normal(0, 0.05, h), jnp.float32)
+    kw = dict(n_head=nh, scale=0.125, eps=EPS,
+              causal=mode == "causal",
+              valid_len=6 if mode == "valid_len" else None,
+              interpret=INTERP)
+
+    # bf16 must BIT-match (rounding barrier at the astype); f32 tolerates
+    # 1-ulp FMA contraction of the epilogue mul+add (see the MLP test)
+    for dt, exact in ((jnp.bfloat16, True), (jnp.float32, False)):
+        pre = attn_block_pallas(x, lnw, lnb, qw.c8, qw.ws, qb, ow.c8, ow.ws,
+                                out_dtype=dt, **kw)
+        ref = x.astype(dt) + (pre + ob.astype(dt))
+        got = attn_block_pallas(x, lnw, lnb, qw.c8, qw.ws, qb, ow.c8, ow.ws,
+                                ob, out_dtype=dt, residual=True, **kw)
+        if exact:
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        else:
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+    with pytest.raises(ValueError, match="residual"):
+        attn_block_pallas(x, lnw, lnb, qw.c8, qw.ws, qb, ow.c8, ow.ws,
+                          out_dtype=jnp.bfloat16, residual=True, **kw)
