@@ -595,3 +595,45 @@ def test_attn_block_residual_epilogue_bitmatch(rng, mode):
     with pytest.raises(ValueError, match="residual"):
         attn_block_pallas(x, lnw, lnb, qw.c8, qw.ws, qb, ow.c8, ow.ws,
                           out_dtype=jnp.bfloat16, residual=True, **kw)
+
+
+@pytest.mark.parametrize("mode", ["plain", "causal"])
+def test_layer_block_kernel_matches_two_kernel_chain(rng, mode):
+    """Whole-layer kernel (attention block + MLP in ONE pallas_call) vs the
+    production two-kernel chain.  Measured NEGATIVE in-model on v5e (slope
+    1.379 vs 1.333 ms/layer at B/32 shapes, 0.832 vs 0.783 at text shapes —
+    scripts/proto_layer_kernel.py): the saved mid-residual round-trip does
+    not pay for the lost inter-kernel pipelining.  The op stays for
+    re-racing on other hardware; on the real chip it is bit-equal, in
+    interpret/CPU the fused program may defer the mid-residual's bf16
+    rounding, so this gates at tolerance."""
+    from clip_tpu.ops.attention_pallas import (
+        attn_block_pallas, layer_block_fusable, layer_block_pallas)
+    from clip_tpu.ops.actquant_pallas import mlp_lnq_pallas
+
+    h, f, nh, b, s = 128, 512, 2, 3, 8
+    assert layer_block_fusable(h, 3 * h, h, f, b, s)
+    assert not layer_block_fusable(1280, 3 * 1280, 1280, 5120, 32, 264)
+    x = jnp.asarray(rng.normal(0, 1, (b, s, h)), jnp.bfloat16)
+    mk = lambda *sh: jnp.asarray(rng.normal(0, 0.05, sh), jnp.float32)
+    l1w, l1b, l2w, l2b = mk(h) + 1, mk(h), mk(h) + 1, mk(h)
+    qw, ow = to_w8tensor(mk(3 * h, h)), to_w8tensor(mk(h, h))
+    up, dn = to_w8tensor(mk(f, h)), to_w8tensor(mk(h, f))
+    qb, ob, ub, db = mk(3 * h), mk(h), mk(f), mk(h)
+    kw = dict(n_head=nh, scale=0.125, eps=EPS, causal=mode == "causal",
+              interpret=INTERP)
+
+    xm = attn_block_pallas(x, l1w, l1b, qw.c8, qw.ws, qb, ow.c8, ow.ws, ob,
+                           residual=True, **kw)
+    ref = np.asarray(mlp_lnq_pallas(
+        xm.reshape(b * s, h), l2w, l2b, up.c8, up.ws, ub, dn.c8, dn.ws, db,
+        eps=EPS, act="gelu_quick", interpret=INTERP,
+        residual=True), np.float32).reshape(b, s, h)
+    got = np.asarray(layer_block_pallas(
+        x, l1w, l1b, qw.c8, qw.ws, qb, ow.c8, ow.ws, ob,
+        l2w, l2b, up.c8, up.ws, ub, dn.c8, dn.ws, db,
+        act="gelu_quick", **kw), np.float32)
+    np.testing.assert_allclose(got, ref, atol=5e-2, rtol=5e-2)
+    cos = (got.ravel() @ ref.ravel()) / (
+        np.linalg.norm(got) * np.linalg.norm(ref))
+    assert cos > 0.9999, cos
