@@ -378,25 +378,17 @@ class ClipEngine:
         b = _bucket(n)
         return b if b % m == 0 else ((b + m - 1) // m) * m
 
-    def _tower_lnq(self, tower_cfg, kind: str) -> bool:
-        """Per-tower fused-producer decision.  History: round 3's rule was
-        vision-only (text lost 18% on the LN producer boundary and took the
-        up_gq split).  The round-4 whole-MLP kernel (``mlp_lnq_pallas``)
-        changed the balance again: with LN+quant+up+gelu+requant+down in ONE
-        kernel the producer boundary that hurt text is gone, and full lnq
-        now wins BOTH towers (text 12.41 ms lnq_mlp vs 12.77 upgq_mlp vs
-        13.25 round-3 up_gq at B=256 -> 20.6k texts/s; vision unchanged-won,
-        scripts/bench_text.py, bench_w8a8_model.py)."""
-        if not self.lnq_fuse:
-            return False
-        return True
-
-    def _tower_upgq(self, tower_cfg, kind: str) -> bool:
-        """XLA-quant + fused up-GEMM split, for towers where the lnq
-        producers are off (measured: text 14.00 -> 13.22 ms at B=256,
-        scripts/bench_text.py).  Dominated by the full lnq path wherever
-        that engages, so it only fires when _tower_lnq says no."""
-        return self.up_gq and not self._tower_lnq(tower_cfg, kind)
+    @property
+    def _upgq_active(self) -> bool:
+        """XLA-quant + fused up-GEMM split, used only when the lnq producers
+        are off (measured: text 14.00 -> 13.22 ms at B=256,
+        scripts/bench_text.py).  History: round 3 resolved lnq vs up_gq PER
+        TOWER (text lost 18% on the LN producer boundary); the round-4
+        whole-MLP kernel removed that boundary and full lnq now wins both
+        towers (text 12.41 ms lnq_mlp vs 13.25 round-3 up_gq at B=256 ->
+        20.6k texts/s; scripts/bench_text.py, bench_w8a8_model.py), so the
+        per-tower decision collapsed to the two engine flags."""
+        return self.up_gq and not self.lnq_fuse
 
     # -- hparams (clip_get_text_hparams / clip_get_vision_hparams) ----------
 
@@ -499,8 +491,8 @@ class ClipEngine:
                     unroll=self.unroll,
                     qmm_backend=self._qmm_backend,
                     tp_axis=self._tp_axis,
-                    lnq_fuse=self._tower_lnq(cfg.text, "text"),
-                    up_gq=self._tower_upgq(cfg.text, "text"),
+                    lnq_fuse=self.lnq_fuse,
+                    up_gq=self._upgq_active,
                 )
 
             self._jit_cache[key] = self._wrap(
@@ -521,8 +513,8 @@ class ClipEngine:
                     unroll=self.unroll,
                     qmm_backend=self._qmm_backend,
                     tp_axis=self._tp_axis,
-                    lnq_fuse=self._tower_lnq(cfg.vision, "vision"),
-                    up_gq=self._tower_upgq(cfg.vision, "vision"),
+                    lnq_fuse=self.lnq_fuse,
+                    up_gq=self._upgq_active,
                 )
 
             self._jit_cache[key] = self._wrap(fn, "vision", self._batch_spec(4))
@@ -551,8 +543,8 @@ class ClipEngine:
                     unroll=self.unroll,
                     qmm_backend=self._qmm_backend,
                     tp_axis=self._tp_axis,
-                    lnq_fuse=self._tower_lnq(cfg.vision, "vision"),
-                    up_gq=self._tower_upgq(cfg.vision, "vision"),
+                    lnq_fuse=self.lnq_fuse,
+                    up_gq=self._upgq_active,
                 )
 
             self._jit_cache[key] = self._wrap(fn, "vision", self._batch_spec(4))

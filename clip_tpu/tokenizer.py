@@ -42,9 +42,11 @@ class ClipTokenizer:
     def __init__(self, tokens: Sequence[str], bos_id: int = BOS_TOKEN_ID, eos_id: int = EOS_TOKEN_ID):
         self.id_to_token = list(tokens)
         # Greedy matching works on the raw UTF-8 bytes like the C++ code.
+        # Duplicate token strings: the LAST id wins, matching the reference's
+        # std::map operator[] assignment loop (/root/reference/clip.cpp:482).
         self.token_to_id: dict[bytes, int] = {}
         for i, tok in enumerate(self.id_to_token):
-            self.token_to_id.setdefault(tok.encode("utf-8"), i)
+            self.token_to_id[tok.encode("utf-8")] = i
         self.bos_id = bos_id
         self.eos_id = eos_id
 

@@ -62,7 +62,7 @@ def bench(variant: str) -> tuple[float, float]:
             params, cfg.vision, pixels, use_gelu=cfg.use_gelu,
             normalize=True, compute_dtype=jnp.bfloat16,
             # fused producers: with the gemm_gq epilogue the fused path wins
-            # at every vision width (engine._tower_lnq) — mirror the engine
+            # at every vision width (engine.lnq_fuse auto rule) — mirror the engine
             lnq_fuse=jax.default_backend() == "tpu")
 
     if jax.default_backend() == "tpu":

@@ -70,3 +70,55 @@ def test_embeddings_frozen(goldens, golden_engine):
         np.testing.assert_allclose(txt, g_txt, atol=2e-4)
         # and the similarity sanity value, like the reference README's 0.6746
         assert (img * g_img).sum(1).min() >= 0.99999
+
+
+def test_repeated_golden_run_determinism(golden_engine):
+    """SURVEY §5 sanitizer analogue (the donation/aliasing audit).
+
+    The reference needs TSan because clip_ctx hides mutable scratch state
+    (clip.cpp:1048-1049); our engine is functional, and this test is the
+    audit that keeps it so: a SECOND engine instance over the same
+    checkpoint must reproduce the first's outputs bit-for-bit, and
+    re-running an encode on the same instance must not perturb earlier
+    results (would fail if any jit donated/aliased the params pytree or a
+    kernel wrote through an input buffer).
+    """
+    from make_goldens_strings import QUIRK_STRINGS
+
+    paths = [os.path.join(FIXDIR, f"golden_{n}.png") for n in ("a", "b")]
+    pixels = golden_engine.preprocess([golden_engine.load_image(p) for p in paths])
+
+    img1 = golden_engine.encode_image(pixels, normalize=True, preprocessed=True)
+    txt1 = golden_engine.encode_text(QUIRK_STRINGS[:4], normalize=True)
+    # same-instance repeat: bitwise equal
+    np.testing.assert_array_equal(
+        img1, golden_engine.encode_image(pixels, normalize=True, preprocessed=True))
+    np.testing.assert_array_equal(
+        txt1, golden_engine.encode_text(QUIRK_STRINGS[:4], normalize=True))
+
+    # fresh-instance repeat over the same file: bitwise equal (no hidden
+    # state survives in the checkpoint or process)
+    eng2 = ClipEngine(golden_engine.model_path, compute_dtype="float32", verbosity=0)
+    try:
+        np.testing.assert_array_equal(
+            img1, eng2.encode_image(pixels, normalize=True, preprocessed=True))
+        np.testing.assert_array_equal(
+            txt1, eng2.encode_text(QUIRK_STRINGS[:4], normalize=True))
+    finally:
+        eng2.close()
+
+
+def test_no_buffer_donation_in_package():
+    """Static aliasing audit: buffer donation on a params pytree would let
+    XLA overwrite the weights of one encode with the activations of the
+    next — we never donate.  Guard the invariant textually so a future
+    'optimization' has to delete this test to land."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "clip_tpu"
+    hits = []
+    for py in pkg.rglob("*.py"):
+        text = py.read_text()
+        if "donate_argnums" in text or "donate_argnames" in text:
+            hits.append(str(py))
+    assert not hits, f"buffer donation introduced in {hits}; audit aliasing first"
