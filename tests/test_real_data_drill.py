@@ -95,3 +95,63 @@ def test_parse_top1_rejects_malformed(drill, tmp_path):
     p.write_text("no table here\n")
     with pytest.raises(SystemExit):
         drill.parse_top1(str(p))
+
+def test_measure_reference_assembles_build_and_run(drill, tmp_path):
+    """Offline: the build-and-measure step's command plan and parsing, with
+    an injected runner standing in for git/cmake/the benchmark binary."""
+    workdir = str(tmp_path / "w")
+    os.makedirs(workdir)
+    src = os.path.join(workdir, "clip.cpp")
+    cmds = []
+
+    def fake_run(cmd, **kw):
+        cmds.append(cmd)
+        if cmd[0] == "git" and cmd[1] == "clone":
+            tgt = cmd[-1]
+            os.makedirs(tgt, exist_ok=True)
+            open(os.path.join(tgt, "CMakeLists.txt"), "w").write("x")
+        elif cmd[:2] == ["cmake", "--build"]:
+            bdir = cmd[2]
+            os.makedirs(os.path.join(bdir, "bin"), exist_ok=True)
+            open(os.path.join(bdir, "bin", "benchmark"), "w").write("x")
+        elif cmd[0].endswith("benchmark"):
+            with open(cmd[4], "w") as f:
+                f.write("# Timings\n"
+                        "- 2 texts encoded in 100.00 ms (50.00 ms per text)\n"
+                        "- 6 images encoded in  300.00 ms ( 50.00 ms per image)\n")
+
+    ref = drill.measure_reference(workdir, "/m.gguf", "/data", ref_src=src,
+                                  ggml_commit="deadbeef", run=fake_run)
+    assert ref["ms_per_image"] == 50.0
+    assert abs(ref["img_per_s"] - 20.0) < 1e-9
+    joined = [" ".join(c) for c in cmds]
+    assert any("clone" in c and c.endswith(src) for c in joined)
+    assert any("checkout deadbeef" in c for c in joined)
+    assert any("-DCLIP_BUILD_TESTS=ON" in c for c in joined)
+    assert any(c.endswith("benchmark -j") for c in joined)
+    # the benchmark invocation: model, dataset, n_per_dir, report
+    bench = next(c for c in cmds if c[0].endswith("bin/benchmark"))
+    assert bench[1:4] == ["/m.gguf", "/data", "0"]
+
+
+def test_write_measured_baseline_verdict(drill, tmp_path):
+    baseline = {"metric": "x", "published": {}, "configs": []}
+    bl = tmp_path / "BASELINE.json"
+    bl.write_text(json.dumps(baseline))
+    ref = {"ms_per_image": 50.0, "img_per_s": 20.0, "report": "r.md"}
+    v = drill.write_measured_baseline(str(tmp_path), ref, ours_ms=0.05)
+    assert v["gate"] == "throughput_10x" and v["pass"] and v["speedup"] == 1000.0
+    data = json.loads(bl.read_text())
+    assert data["published"]["clip_cpp_ms_per_image"] == 50.0
+    # a slow result fails the 10x gate
+    v2 = drill.write_measured_baseline(str(tmp_path), ref, ours_ms=10.0)
+    assert not v2["pass"]
+
+
+def test_parse_ms_per_image(drill, tmp_path):
+    p = tmp_path / "r.md"
+    p.write_text("- 24 images encoded in  1200.00 ms (   50.00 ms per image)\n")
+    assert drill.parse_ms_per_image(str(p)) == 50.0
+    p.write_text("nothing\n")
+    with pytest.raises(SystemExit):
+        drill.parse_ms_per_image(str(p))
