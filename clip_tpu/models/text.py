@@ -41,6 +41,7 @@ def encode_text(
     mlp_full: bool = True,
     attn_i8: bool = False,
     attn_block: bool = True,
+    mlp_stream: bool = False,
 ) -> jnp.ndarray:
     b, s = token_ids.shape
 
@@ -79,6 +80,7 @@ def encode_text(
         mlp_full=mlp_full,
         attn_i8=attn_i8,
         attn_block=attn_block,
+        mlp_stream=mlp_stream,
     )
 
     x = layernorm(x, params["post_ln_w"], params["post_ln_b"], cfg.eps)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..ops.actquant_pallas import (
     fusable_width, gemm_gq_pallas, lnq_pallas, mlp_fusable, mlp_gq_pallas,
-    mlp_lnq_pallas, w8a8_pre)
+    mlp_lnq_pallas, mlp_lnq_stream_pallas, mlp_stream_fusable, w8a8_pre)
 from ..ops.attention_pallas import (
     attn_block_fusable, attn_block_pallas, flat_eligible, mha_pallas_qkv,
     mha_pallas_qkv_i8)
@@ -272,7 +272,7 @@ def block(x, lp, *, n_head, eps, use_gelu, causal=False,
           compute_dtype=jnp.float32, attn_impl="auto",
           qmm_backend=None, tp_axis=None, valid_len=None,
           lnq_fuse=False, up_gq=False, mlp_full=True, attn_i8=False,
-          attn_block=True):
+          attn_block=True, mlp_stream=False):
     x = attention(x, lp, n_head=n_head, causal=causal,
                   compute_dtype=compute_dtype, attn_impl=attn_impl,
                   qmm_backend=qmm_backend, tp_axis=tp_axis,
@@ -289,7 +289,7 @@ def block(x, lp, *, n_head, eps, use_gelu, causal=False,
         and fusable_width(lp["up_w"].shape[0])
     )
     act = "gelu_tanh" if use_gelu else "gelu_quick"
-    # whole-MLP fusion: at widths where both int8 weight matrices fit VMEM
+    # whole-MLP fusion (resident): at widths where both int8 weight matrices fit VMEM
     # (H <= 1024), ONE kernel runs LN/quant -> up-GEMM -> gelu -> requant ->
     # down-GEMM so neither the LN'd codes nor the [rows, 4H] intermediate
     # (the model's largest activation) ever leave VMEM.  Bit-identical to
@@ -297,6 +297,38 @@ def block(x, lp, *, n_head, eps, use_gelu, causal=False,
     # weights exceed the budget (ViT-H/14's 1280x5120).
     full = mlp_full and fuse_mlp and mlp_fusable(
         x.shape[-1], lp["up_w"].shape[0])
+    # weight-STREAMED whole-MLP kernel: widths past the resident budget
+    # (ViT-H/14's 1280x5120) can run the same fused MLP with the weights
+    # streamed through VMEM in column chunks — bit-identical to the resident
+    # kernel (full-row requant scale staged in scratch; int32 chunk
+    # accumulation is exact).  MEASURED NEGATIVE in-model at H/14 B=32 on
+    # this chip (round 5): 53.2/52.7 vs 50.6 ms for two-phase (256,8) /
+    # single-phase per-chunk-scale variants vs the staged chain — the XLA
+    # int8 GEMMs pipeline across layers while the streamed grid serializes
+    # LN -> up chunks -> down chunks per row block.  OFF by default; kept
+    # selectable for re-racing on other hardware (scripts/proto_mlp_stream.py)
+    stream = (not full and mlp_full and mlp_stream and fuse_mlp
+              and mlp_stream_fusable(x.shape[-1], lp["up_w"].shape[0]))
+    if stream:
+        bb, ss, hh = x.shape
+        interp = jax.default_backend() != "tpu"
+        if tp_axis is None:
+            return mlp_lnq_stream_pallas(
+                x.reshape(bb * ss, hh), lp["ln2_w"], lp["ln2_b"],
+                lp["up_w"].c8, lp["up_w"].ws, lp["up_b"],
+                lp["down_w"].c8, lp["down_w"].ws, lp["down_b"],
+                eps=float(eps), act=act, interpret=interp,
+                out_dtype=compute_dtype, residual=True).reshape(bb, ss, -1)
+        h = mlp_lnq_stream_pallas(
+            x.reshape(bb * ss, hh), lp["ln2_w"], lp["ln2_b"],
+            lp["up_w"].c8, lp["up_w"].ws, lp["up_b"],
+            lp["down_w"].c8, lp["down_w"].ws,
+            eps=float(eps), act=act, interpret=interp,
+            out_dtype=compute_dtype)
+        h = h.reshape(bb, ss, -1)
+        h = jax.lax.psum(h, tp_axis)
+        h = h + lp["down_b"].astype(h.dtype)
+        return x + h
     if full:
         bb, ss, hh = x.shape
         interp = jax.default_backend() != "tpu"
@@ -378,7 +410,7 @@ def run_blocks(x, layers, *, n_head, eps, use_gelu, causal=False,
                compute_dtype=jnp.float32, attn_impl="auto", unroll=False,
                qmm_backend=None, tp_axis=None, valid_len=None,
                lnq_fuse=False, up_gq=False, mlp_full=True, attn_i8=False,
-               attn_block=True):
+               attn_block=True, mlp_stream=False):
     """Run the transformer stack; ``layers`` leaves carry a leading L axis.
 
     ``unroll=True`` emits a Python loop instead of ``lax.scan``: each layer's
@@ -391,7 +423,7 @@ def run_blocks(x, layers, *, n_head, eps, use_gelu, causal=False,
         compute_dtype=compute_dtype, attn_impl=attn_impl,
         qmm_backend=qmm_backend, tp_axis=tp_axis, valid_len=valid_len,
         lnq_fuse=lnq_fuse, up_gq=up_gq, mlp_full=mlp_full, attn_i8=attn_i8,
-        attn_block=attn_block,
+        attn_block=attn_block, mlp_stream=mlp_stream,
     )
 
     if unroll:

@@ -59,6 +59,7 @@ def encode_image(
     mlp_full: bool = True,
     attn_i8: bool = False,
     attn_block: bool = True,
+    mlp_stream: bool = False,
 ) -> jnp.ndarray:
     b = pixels.shape[0]
     p = cfg.patch_size
@@ -127,6 +128,7 @@ def encode_image(
         mlp_full=mlp_full,
         attn_i8=attn_i8,
         attn_block=attn_block,
+        mlp_stream=mlp_stream,
     )
 
     pooled = x[:, 0, :]  # CLS (clip.cpp:1426-1430)

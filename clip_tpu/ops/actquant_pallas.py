@@ -34,7 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .qtensor import W8Tensor
 
 __all__ = ["lnq_pallas", "actq_pallas", "gemm_gq_pallas", "w8a8_pre",
-           "fusable_width", "mlp_gq_pallas", "mlp_lnq_pallas", "mlp_fusable"]
+           "fusable_width", "mlp_gq_pallas", "mlp_lnq_pallas", "mlp_fusable",
+           "mlp_lnq_stream_pallas", "mlp_stream_fusable"]
 
 _SQRT_2_OVER_PI = 0.7978845608028654
 # VMEM row-block budget (elements).  The kernel's resident set per block is
@@ -418,6 +419,238 @@ def mlp_lnq_pallas(x, lnw, lnb, up8, upws, upb, dn8, dnws, dnb=None, *,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((br, k), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*operands)
+
+
+# ---------------------------------------------------------------------------
+# Weight-STREAMED whole-MLP kernel: the widths the resident-weight kernel
+# cannot serve (ViT-H/14's 1280x5120 = 13.1 MB of int8 weights) run the same
+# fused MLP with the two weight matrices streamed through VMEM in column
+# chunks instead of resident.  Two-phase grid per row block:
+#
+#   phase 1 (j = 0..c-1):   up-GEMM chunk j -> rescale+bias -> gelu -> store
+#                           into a [br, 4H] f32 VMEM scratch; running row amax
+#   phase 2 (j = c..2c-1):  quantize scratch chunk (j-c) with the FULL-row
+#                           scale -> int8 down-GEMM chunk -> int32 accumulate
+#
+# Because the requant scale is the full-row amax (known after phase 1) and
+# int32 chunk-dot accumulation is exact, the output is BIT-IDENTICAL to
+# mlp_lnq_pallas / the staged chain — the streaming is invisible to numerics
+# (tests/test_actquant_fusion.py asserts array_equal).  Mosaic double-buffers
+# the chunk fetches across grid steps, so phase-1 compute overlaps phase-1
+# weight DMA; x and the output block ride along at a constant index (fetched/
+# flushed once per row block).  Reference anchor: same role as the resident
+# kernel — /root/reference/clip.cpp:1119-1142's MLP chain fused per ggml's
+# quantize-then-dot pipeline.
+# ---------------------------------------------------------------------------
+
+def _mlp_stream_plan(rows: int, k: int, n: int) -> "tuple[int, int] | None":
+    """(block_rows, n_chunks) for the streamed MLP, or None if the geometry
+    has no 128-aligned chunking.  Budget: br*(5k + 4n) scratch + 4 chunk
+    buffers (double-buffered up+down) + bf16 x/out blocks <= ~13 MB."""
+    if k % 128 != 0 or n % 128 != 0:
+        return None
+    budget = 13 * 1024 * 1024
+    # prefer LARGE row blocks over fewer chunks: the isolated race at
+    # 1280x5120 puts (256,8) ~25% ahead of (128,4) — full row blocks keep
+    # the MXU dots tall, while extra chunks only shorten the (pipelined)
+    # weight DMAs (scripts/proto_mlp_stream.py)
+    for br in (256, 128, 64, 32, 16, 8):
+        for c in (4, 8, 16, 2, 32):
+            if n % c or (n // c) % 128:
+                continue
+            nc = n // c
+            chunks = 4 * nc * k
+            scratch = br * (5 * k + 4 * n + 12)
+            xo = 2 * br * k * 2 * 2
+            if chunks + scratch + xo <= budget:
+                rp = -(-rows // 8) * 8
+                return min(br, rp), c
+    return None
+
+
+def mlp_stream_fusable(h: int, n4h: int) -> bool:
+    """True iff the streamed whole-MLP kernel can run at this width."""
+    return (fusable_width(h) and fusable_width(n4h)
+            and _mlp_stream_plan(8, h, n4h) is not None)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "act", "block_rows", "n_chunks", "interpret",
+                     "out_dtype", "residual", "exact"))
+def mlp_lnq_stream_pallas(x, lnw, lnb, up8, upws, upb, dn8, dnws, dnb=None, *,
+                          eps: float, act: str = "gelu_quick",
+                          block_rows: int | None = None,
+                          n_chunks: int | None = None,
+                          interpret: bool = False, out_dtype=jnp.bfloat16,
+                          residual: bool = False, exact: bool = True):
+    """Weight-streamed variant of :func:`mlp_lnq_pallas` — same contract,
+    same numerics (bit-identical), for widths whose weights exceed the
+    resident-kernel VMEM budget.  ``dnb``/``residual`` as in the resident
+    kernel (pre-bias output when ``dnb`` is None, for TP psum-first).
+
+    ``exact=False`` switches to SINGLE-phase streaming: each 4H chunk is
+    requantized with its OWN per-row scale and fed straight to its down-GEMM
+    chunk (grid c instead of 2c; no [br, 4H] f32 staging scratch).  Not
+    bit-identical to the resident kernel — per-chunk scales are FINER-grained
+    than the full-row scale, so the int8 staging error is smaller-or-equal —
+    but cheaper on VMEM traffic."""
+    if act not in ("gelu_quick", "gelu_tanh", "none"):
+        raise ValueError(f"unknown act {act!r}")
+    if residual and dnb is None:
+        raise ValueError("residual=True requires dnb")
+    m, k = x.shape
+    n = up8.shape[0]
+    plan = _mlp_stream_plan(m, k, n)
+    if plan is None:
+        raise ValueError(f"mlp_lnq_stream_pallas: no chunk plan for {k}x{n}")
+    br = block_rows or plan[0]
+    c = n_chunks or plan[1]
+    if n % c or (n // c) % 128:
+        raise ValueError(f"n_chunks {c} must 128-align {n}")
+    nc = n // c
+    lnw2, lnb2 = lnw.reshape(1, k), lnb.reshape(1, k)
+    upws2, upb2, dnws2 = upws.reshape(1, n), upb.reshape(1, n), dnws.reshape(1, k)
+
+    def _ln_codes(x_ref, lw_ref, lb_ref, c1_ref, s1_ref):
+        xv = x_ref[:].astype(jnp.float32)
+        mu = jnp.mean(xv, axis=1, keepdims=True)
+        ms = jnp.mean(xv * xv, axis=1, keepdims=True)
+        var = jnp.maximum(ms - mu * mu, 0.0)
+        y = (xv - mu) * jax.lax.rsqrt(var + eps)
+        y = (y * lw_ref[0, :].astype(jnp.float32)
+             + lb_ref[0, :].astype(jnp.float32))
+        codes, sx = _quantize_rows(y)
+        c1_ref[:] = codes
+        s1_ref[:] = sx
+
+    def _up_chunk(c1_ref, s1_ref, uw_ref, uws_ref, ub_ref):
+        # up-GEMM chunk: [br, k] int8 x [nc, k] int8 -> [br, nc]
+        acc = jax.lax.dot_general(
+            c1_ref[:], uw_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = (acc.astype(jnp.float32) * s1_ref[:] * uws_ref[0, :]
+             + ub_ref[0, :])
+        if act == "gelu_quick":
+            y = y * jax.lax.logistic(1.702 * y)
+        elif act == "gelu_tanh":
+            y = 0.5 * y * (1.0 + jnp.tanh(
+                _SQRT_2_OVER_PI * (y + 0.044715 * y * y * y)))
+        return y
+
+    def _emit_acc(j, last, acc_f32, x_ref, db_ref, o_ref):
+        @pl.when(j == last)
+        def _():
+            t = acc_f32.astype(o_ref.dtype)
+            if db_ref is not None:
+                t = t + db_ref[0, :].astype(o_ref.dtype)
+                if residual:
+                    t = x_ref[:].astype(o_ref.dtype) + t
+            o_ref[:] = t
+
+    def body(x_ref, lw_ref, lb_ref, uw_ref, uws_ref, ub_ref, dw_ref, dws_ref,
+             db_ref, o_ref, c1_ref, s1_ref, y_ref, am_ref, acc_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _ln():
+            _ln_codes(x_ref, lw_ref, lb_ref, c1_ref, s1_ref)
+
+        @pl.when(j < c)
+        def _up():
+            y = _up_chunk(c1_ref, s1_ref, uw_ref, uws_ref, ub_ref)
+            y_ref[:, pl.dslice(j * nc, nc)] = y
+            cur = jnp.max(jnp.abs(y), axis=1, keepdims=True)
+            am_ref[:] = jnp.where(j == 0, cur, jnp.maximum(am_ref[:], cur))
+
+        @pl.when(j >= c)
+        def _down():
+            cc = j - c
+            sx2 = am_ref[:] / 127.0 + 1e-12       # full-row scale, like
+            y = y_ref[:, pl.dslice(cc * nc, nc)]  # _quantize_rows
+            c2 = jnp.clip(jnp.round(y / sx2), -127, 127).astype(jnp.int8)
+            d = jax.lax.dot_general(
+                c2, dw_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc_ref[:] = jnp.where(j == c, d, acc_ref[:] + d)
+
+        @pl.when(j == 2 * c - 1)
+        def _emit():
+            sx2 = am_ref[:] / 127.0 + 1e-12
+            t = acc_ref[:].astype(jnp.float32) * sx2 * dws_ref[0, :]
+            _emit_acc(j, 2 * c - 1, t, x_ref, db_ref, o_ref)
+
+    def body_1phase(x_ref, lw_ref, lb_ref, uw_ref, uws_ref, ub_ref, dw_ref,
+                    dws_ref, db_ref, o_ref, c1_ref, s1_ref, acc_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _ln():
+            _ln_codes(x_ref, lw_ref, lb_ref, c1_ref, s1_ref)
+
+        y = _up_chunk(c1_ref, s1_ref, uw_ref, uws_ref, ub_ref)
+        c2, sx2 = _quantize_rows(y)               # per-CHUNK row scales
+        d = jax.lax.dot_general(
+            c2, dw_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        part = d.astype(jnp.float32) * sx2 * dws_ref[0, :]
+        acc_ref[:] = jnp.where(j == 0, part, acc_ref[:] + part)
+        _emit_acc(j, c - 1, acc_ref[:], x_ref, db_ref, o_ref)
+
+    base = body if exact else body_1phase
+    if dnb is None:
+        def kernel(x_ref, lw, lb, uw, uws, ub, dw, dws, o_ref, *scr):
+            base(x_ref, lw, lb, uw, uws, ub, dw, dws, None, o_ref, *scr)
+    else:
+        kernel = base
+
+    rep = lambda i, j: (0, 0)
+    if exact:
+        up_idx = lambda i, j: (jnp.minimum(j, c - 1), 0)   # hold in phase 2
+        upc_idx = lambda i, j: (0, jnp.minimum(j, c - 1))
+        dn_idx = lambda i, j: (0, jnp.maximum(j - c, 0))   # hold in phase 1
+        grid = (pl.cdiv(m, br), 2 * c)
+        scratch = [
+            pltpu.VMEM((br, k), jnp.int8),      # LN'd codes
+            pltpu.VMEM((br, 1), jnp.float32),   # LN quant scales
+            pltpu.VMEM((br, n), jnp.float32),   # gelu(up) staging
+            pltpu.VMEM((br, 1), jnp.float32),   # running row amax
+            pltpu.VMEM((br, k), jnp.int32),     # down-GEMM accumulator
+        ]
+    else:
+        up_idx = lambda i, j: (j, 0)
+        upc_idx = lambda i, j: (0, j)
+        dn_idx = lambda i, j: (0, j)
+        grid = (pl.cdiv(m, br), c)
+        scratch = [
+            pltpu.VMEM((br, k), jnp.int8),      # LN'd codes
+            pltpu.VMEM((br, 1), jnp.float32),   # LN quant scales
+            pltpu.VMEM((br, k), jnp.float32),   # f32 partial-sum accumulator
+        ]
+    in_specs = [
+        pl.BlockSpec((br, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k), rep, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k), rep, memory_space=pltpu.VMEM),
+        pl.BlockSpec((nc, k), up_idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nc), upc_idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nc), upc_idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, nc), dn_idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k), rep, memory_space=pltpu.VMEM),
+    ]
+    operands = [x, lnw2, lnb2, up8, upws2, upb2, dn8, dnws2]
+    if dnb is not None:
+        in_specs.append(pl.BlockSpec((1, k), rep, memory_space=pltpu.VMEM))
+        operands.append(dnb.reshape(1, k))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m, k), out_dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((br, k), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*operands)
 

@@ -104,7 +104,8 @@ def main():
     run_one("lnq_gemm", pw8, lnq_fuse=True, mlp_full=False, attn_i8=False,
             attn_block=False)
     run_one("lnq_mlp", pw8, lnq_fuse=True, attn_block=False)  # r4 whole-MLP
-    run_one("lnq_ablk", pw8, lnq_fuse=True)  # r4 + whole-attention-block
+    run_one("lnq_ablk", pw8, lnq_fuse=True)  # r4/r5 default (incl. mlp_stream)
+    run_one("no_stream", pw8, lnq_fuse=True, mlp_stream=False)  # r4 behavior
     run_one("up_gq", pw8, up_gq=True, mlp_full=False)
     run_one("upgq_mlp", pw8, up_gq=True)     # codes-in whole-MLP kernel
     run_one("dense", pdense)

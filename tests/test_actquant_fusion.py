@@ -637,3 +637,118 @@ def test_layer_block_kernel_matches_two_kernel_chain(rng, mode):
     cos = (got.ravel() @ ref.ravel()) / (
         np.linalg.norm(got) * np.linalg.norm(ref))
     assert cos > 0.9999, cos
+
+
+def test_mlp_stream_matches_resident_bitwise(rng):
+    """The weight-STREAMED whole-MLP kernel must be BIT-equal to the resident
+    kernel (full-row requant scale staged in scratch; int32 chunk-dot
+    accumulation is exact) — and therefore to the staged chain at the
+    precision the resident kernel matches it."""
+    from clip_tpu.ops.actquant_pallas import (
+        mlp_lnq_pallas, mlp_lnq_stream_pallas, mlp_stream_fusable)
+
+    h, f, rows = 128, 512, 52  # ragged rows
+    assert mlp_stream_fusable(h, f)
+    x = jnp.asarray(rng.normal(0, 1, (rows, h)), jnp.bfloat16)
+    lnw = jnp.asarray(rng.normal(1, 0.05, h), jnp.float32)
+    lnb = jnp.asarray(rng.normal(0, 0.05, h), jnp.float32)
+    up = to_w8tensor(jnp.asarray(rng.normal(0, 0.05, (f, h)), jnp.float32))
+    dn = to_w8tensor(jnp.asarray(rng.normal(0, 0.05, (h, f)), jnp.float32))
+    upb = jnp.asarray(rng.normal(0, 0.05, f), jnp.float32)
+    dnb = jnp.asarray(rng.normal(0, 0.05, h), jnp.float32)
+
+    # bf16 (production): bit-equal.  f32: the no-op astype lets the emit
+    # epilogue FMA-contract differently between the two kernels — 1-ulp
+    # drift tolerated (same class as test_block_mlp_full_matches_staged).
+    for act in ("gelu_quick", "gelu_tanh"):
+        for kw in (dict(), dict(dnb=dnb, residual=True)):
+            for dt, exact_cmp in ((jnp.bfloat16, True), (jnp.float32, False)):
+                ref = np.asarray(mlp_lnq_pallas(
+                    x, lnw, lnb, up.c8, up.ws, upb, dn.c8, dn.ws,
+                    eps=EPS, act=act, interpret=INTERP, out_dtype=dt,
+                    **kw), np.float32)
+                got = np.asarray(mlp_lnq_stream_pallas(
+                    x, lnw, lnb, up.c8, up.ws, upb, dn.c8, dn.ws,
+                    eps=EPS, act=act, interpret=INTERP, out_dtype=dt,
+                    **kw), np.float32)
+                if exact_cmp:
+                    np.testing.assert_array_equal(got, ref)
+                else:
+                    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+    # single-phase variant (exact=False): per-chunk scales — finer-grained
+    # staging, tolerance-gated; with one chunk it degenerates to the exact
+    # full-row scale and must be bit-equal
+    one = np.asarray(mlp_lnq_stream_pallas(
+        x, lnw, lnb, up.c8, up.ws, upb, dn.c8, dn.ws, eps=EPS,
+        interpret=INTERP, out_dtype=jnp.bfloat16, exact=False, n_chunks=1),
+        np.float32)
+    ref = np.asarray(mlp_lnq_pallas(
+        x, lnw, lnb, up.c8, up.ws, upb, dn.c8, dn.ws, eps=EPS,
+        interpret=INTERP, out_dtype=jnp.bfloat16), np.float32)
+    np.testing.assert_array_equal(one, ref)
+    four = np.asarray(mlp_lnq_stream_pallas(
+        x, lnw, lnb, up.c8, up.ws, upb, dn.c8, dn.ws, eps=EPS,
+        interpret=INTERP, out_dtype=jnp.bfloat16, exact=False, n_chunks=4),
+        np.float32)
+    cos = (four.ravel() * ref.ravel()).sum() / (
+        np.linalg.norm(four) * np.linalg.norm(ref) + 1e-30)
+    assert cos > 0.9999, cos
+
+
+def test_mlp_stream_blocking_invariance(rng):
+    """Streamed whole-MLP outputs must be bit-equal across every
+    (block_rows, n_chunks) choice — the full-row scale makes the chunking
+    invisible to numerics."""
+    from clip_tpu.ops.actquant_pallas import mlp_lnq_stream_pallas
+
+    h, f, rows = 128, 512, 104
+    x = jnp.asarray(rng.normal(0, 1, (rows, h)), jnp.bfloat16)
+    lnw = jnp.asarray(rng.normal(1, 0.05, h), jnp.float32)
+    lnb = jnp.asarray(rng.normal(0, 0.05, h), jnp.float32)
+    up = to_w8tensor(jnp.asarray(rng.normal(0, 0.05, (f, h)), jnp.float32))
+    dn = to_w8tensor(jnp.asarray(rng.normal(0, 0.05, (h, f)), jnp.float32))
+    upb = jnp.asarray(rng.normal(0, 0.05, f), jnp.float32)
+
+    outs = [
+        np.asarray(mlp_lnq_stream_pallas(
+            x, lnw, lnb, up.c8, up.ws, upb, dn.c8, dn.ws, eps=EPS,
+            block_rows=br, n_chunks=c, interpret=INTERP,
+            out_dtype=jnp.float32))
+        for br, c in ((48, 2), (104, 4), (32, 1))
+    ]
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
+
+
+def test_block_mlp_stream_route(rng):
+    """transformer.block must route H/14-class widths (resident budget
+    exceeded) to the streamed kernel when mlp_stream is on, and the result
+    must be bit-equal to the same block with the kernel disabled (staged
+    chain) at bf16 — the stream kernel is a fusion, not an approximation."""
+    from clip_tpu.ops.actquant_pallas import mlp_fusable, mlp_stream_fusable
+
+    # production boundary: H/14 is stream-servable, nothing is left behind
+    assert not mlp_fusable(1280, 5120)
+    assert mlp_stream_fusable(1280, 5120)
+
+    h, f = 128, 512
+    lp = _layer_params(rng, h, f)
+    for k in ("qkv_w", "o_w", "up_w", "down_w"):
+        lp[k] = to_w8tensor(lp[k])
+    x = jnp.asarray(rng.normal(0, 1, (2, 10, h)), jnp.bfloat16)
+    kw = dict(n_head=4, eps=EPS, use_gelu=False,
+              compute_dtype=jnp.bfloat16, attn_impl="xla", lnq_fuse=True,
+              mlp_full=True)
+    # force the resident kernel off so the router must pick the stream path
+    import clip_tpu.models.transformer as tmod
+    real = tmod.mlp_fusable
+    tmod.mlp_fusable = lambda *a: False
+    try:
+        a = np.asarray(transformer.block(x, lp, mlp_stream=True, **kw),
+                       np.float32)
+        b = np.asarray(transformer.block(x, lp, mlp_stream=False, **kw),
+                       np.float32)
+    finally:
+        tmod.mlp_fusable = real
+    np.testing.assert_array_equal(a, b)
