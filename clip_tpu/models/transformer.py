@@ -23,7 +23,8 @@ from ..ops.actquant_pallas import (
     fusable_width, gemm_gq_pallas, lnq_pallas, mlp_fusable, mlp_gq_pallas,
     mlp_lnq_pallas, mlp_lnq_stream_pallas, mlp_stream_fusable, w8a8_pre)
 from ..ops.attention_pallas import (
-    attn_block_fusable, attn_block_pallas, flat_eligible, mha_pallas_qkv,
+    attn_block_fusable, attn_block_pallas, attn_block_stream_fusable,
+    attn_block_stream_pallas, flat_eligible, mha_pallas_qkv,
     mha_pallas_qkv_i8)
 from ..ops.linear import linear, quant_rows
 from ..ops.nn import gelu_quick, gelu_tanh, layernorm, softmax
@@ -116,11 +117,41 @@ def attention(
         # and read back on the staged path).  Slope-timed 1.12x on the
         # attention half (scripts/proto_attnblock.py); weights-resident gate
         # falls back to the staged path at ViT-H/14 width.
-        if (attn_block and impl == "pallas"
-                and isinstance(lp["o_w"], W8Tensor)
-                and flat_eligible(b, s, qkv_width)
-                and attn_block_fusable(h, qkv_width, lp["o_w"].shape[0],
-                                       b, s)):
+        ablk_resident = (
+            attn_block and impl == "pallas"
+            and isinstance(lp["o_w"], W8Tensor)
+            and flat_eligible(b, s, qkv_width)
+            and attn_block_fusable(h, qkv_width, lp["o_w"].shape[0], b, s))
+        # PHASED fallback for geometries whose monolithic residency Mosaic
+        # rejects (L/14-336's rt=584): same fused block, qkv GEMM streamed
+        # into a VMEM scratch, per-head-group o-GEMM accumulation
+        # (ops.attention_pallas.attn_block_stream_pallas)
+        ablk_stream = (
+            not ablk_resident
+            and attn_block and impl == "pallas"
+            and isinstance(lp["o_w"], W8Tensor)
+            and flat_eligible(b, s, qkv_width)
+            and attn_block_stream_fusable(h, qkv_width, lp["o_w"].shape[0],
+                                          b, s, n_head=qkv_width // 3 // (h // n_head)))
+        if ablk_stream:
+            n_head_loc = qkv_width // 3 // (h // n_head)
+            if add_residual and tp_axis is None:
+                return attn_block_stream_pallas(
+                    x, ln[0], ln[1], lp["qkv_w"].c8, lp["qkv_w"].ws,
+                    lp["qkv_b"], lp["o_w"].c8, lp["o_w"].ws, lp["o_b"],
+                    n_head=n_head_loc, scale=scale, eps=float(ln[2]),
+                    causal=causal, interpret=interp, valid_len=valid_len,
+                    out_dtype=compute_dtype, residual=True)
+            proj = attn_block_stream_pallas(
+                x, ln[0], ln[1], lp["qkv_w"].c8, lp["qkv_w"].ws,
+                lp["qkv_b"], lp["o_w"].c8, lp["o_w"].ws,
+                n_head=n_head_loc, scale=scale, eps=float(ln[2]),
+                causal=causal, interpret=interp, valid_len=valid_len,
+                out_dtype=compute_dtype)
+            if tp_axis is not None:
+                proj = jax.lax.psum(proj, tp_axis)
+            return fin(proj + lp["o_b"].astype(proj.dtype))
+        if ablk_resident:
             if add_residual and tp_axis is None:
                 # bias + residual folded into the kernel epilogue; under TP
                 # the psum must come before both, so this stays single-shard

@@ -24,6 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["flat_eligible", "mha_pallas", "mha_pallas_qkv",
            "mha_pallas_qkv_i8", "attn_block_pallas", "attn_block_fusable",
+           "attn_block_stream_pallas", "attn_block_stream_fusable",
            "layer_block_pallas", "layer_block_fusable"]
 
 NEG_INF = -1e9
@@ -536,6 +537,255 @@ def attn_block_pallas(
         cost_estimate=pl.CostEstimate(
             flops=2 * b_pad * s * (h * h3 + h_out * (h3 // 3))
             + 4 * b_pad * s * rt * (h3 // 3),
+            bytes_accessed=2 * b_pad * s * (h + h_out),
+            transcendentals=b_pad * n_head * s * rt,
+        ),
+    )(*operands)
+    return out[: b * s].reshape(b, s, h_out)
+
+
+# ---------------------------------------------------------------------------
+# PHASED/streamed whole-attention-block kernel: the geometries whose monolithic
+# residency Mosaic rejects (ViT-L/14-336: rt=584 -> compile failure, verified
+# round 5) run the same fused block as a two-phase grid per row block:
+#
+#   phase Q (j = 0..cq-1):   LN + row quant once, then the int8 qkv GEMM
+#                            streamed in [ncq, H] weight chunks into a
+#                            [rt, 3H] bf16 VMEM scratch
+#   phase HO (j = cq..end):  per HEAD-GROUP: block-diagonal attention off the
+#                            scratch -> per-group row quant -> int8 o-GEMM
+#                            chunk (contracting this group's columns) ->
+#                            f32 accumulate; emit at the last group
+#
+# Numerics: same class as attn_block_pallas vs the staged route (qkv bias in
+# f32 before the bf16 cast), plus the o-GEMM's activation quant is per
+# head-GROUP instead of per full row — finer-grained, tolerance-gated
+# (tests/test_attention_pallas.py).  The [rt, 3H] projection still never
+# exists in HBM, which is the point: at L/14-336 B=32 that round trip is
+# ~115 MB/layer of the staged path.
+# ---------------------------------------------------------------------------
+
+
+def _ablk_stream_plan(rt: int, h: int, qkv_width: int,
+                      o_out: int, dh: int) -> "tuple[int, int] | None":
+    """(cq, hg) — qkv chunk count and heads per HO step — or None.
+
+    VMEM model: x + c1 + qkv scratch (bf16) + f32 accumulator + score/prob
+    transients + double-buffered weight chunks + out block <= ~14 MB."""
+    hl = qkv_width // 3
+    n_head = hl // dh
+    for cq in (3, 4, 6, 8, 2):
+        if qkv_width % cq or (qkv_width // cq) % 128:
+            continue
+        ncq = qkv_width // cq
+        for hg in (4, 2, 8, 16, 1):
+            if n_head % hg or (hg * dh) % 128:
+                continue
+            resident = (
+                rt * h * 2 * 2          # x block (double-buffered)
+                + rt * h                # c1 int8
+                + rt * qkv_width * 2    # qkv scratch bf16
+                + rt * o_out * 4        # f32 accumulator
+                + 2 * rt * rt * 4       # scores + probs transient
+                + 2 * ncq * h           # qkv weight chunk (db)
+                + 2 * o_out * hg * dh   # o weight chunk (db)
+                + 2 * rt * o_out * 2    # out block (db)
+            )
+            if resident <= 14 * 1024 * 1024:
+                return cq, hg
+    return None
+
+
+def attn_block_stream_fusable(h: int, qkv_width: int, o_out: int,
+                              b: int = 8, s: int = 8,
+                              n_head: int | None = None) -> bool:
+    """True iff the phased attention-block kernel can run this geometry."""
+    h_loc = qkv_width // 3
+    if h % 128 != 0 or h_loc % 128 != 0:
+        return False
+    if n_head is None:
+        return False
+    bb = _flat_block_b(b, s, qkv_width)
+    if bb is None:
+        return False
+    return _ablk_stream_plan(bb * s, h, qkv_width, o_out,
+                             h_loc // n_head) is not None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_head", "causal", "scale", "eps", "interpret",
+                     "valid_len", "out_dtype", "residual", "cq", "hg"),
+)
+def attn_block_stream_pallas(
+    x: jnp.ndarray,
+    lnw, lnb, qw8, qws, qb, ow8, ows,
+    ob=None,
+    *,
+    n_head: int,
+    scale: float,
+    eps: float,
+    causal: bool = False,
+    interpret: bool = False,
+    valid_len: "int | None" = None,
+    out_dtype=jnp.bfloat16,
+    residual: bool = False,
+    cq: int | None = None,
+    hg: int | None = None,
+):
+    """Phased variant of :func:`attn_block_pallas` — same contract — for
+    geometries the monolithic kernel cannot compile (rt-scaled residency)."""
+    b, s, h = x.shape
+    h3 = qw8.shape[0]
+    hl = h3 // 3
+    h_out = ow8.shape[0]
+    dh = hl // n_head
+    if residual and (ob is None or h_out != h):
+        raise ValueError("residual=True requires ob and H_out == H")
+    vl = s if valid_len is None else valid_len
+
+    bb = _flat_block_b(b, s, h3)
+    if bb is None:
+        raise ValueError("attn_block_stream_pallas requires the flat path")
+    rt = bb * s
+    plan = _ablk_stream_plan(rt, h, h3, h_out, dh)
+    if plan is None:
+        raise ValueError(f"no stream plan for rt={rt} h={h} h3={h3}")
+    cq = cq or plan[0]
+    hg = hg or plan[1]
+    if h3 % cq or (h3 // cq) % 128 or n_head % hg or (hg * dh) % 128:
+        raise ValueError(f"bad chunking cq={cq} hg={hg}")
+    ncq = h3 // cq
+    ch = n_head // hg
+    nco = hg * dh
+    b_pad = -(-b // bb) * bb
+    x2 = x.reshape(b * s, h)
+    if b_pad != b:
+        x2 = jnp.pad(x2, ((0, (b_pad - b) * s), (0, 0)))
+
+    def body(x_ref, lw_ref, lb_ref, qw_ref, qws_ref, qb_ref, ow_ref, ows_ref,
+             db_ref, o_ref, c1_ref, s1_ref, qkv_ref, acc_ref):
+        j = pl.program_id(1)
+        cdt = qkv_ref.dtype
+
+        @pl.when(j == 0)
+        def _ln():
+            xv = x_ref[:].astype(jnp.float32)
+            mu = jnp.mean(xv, axis=1, keepdims=True)
+            ms = jnp.mean(xv * xv, axis=1, keepdims=True)
+            var = jnp.maximum(ms - mu * mu, 0.0)
+            y = (xv - mu) * jax.lax.rsqrt(var + eps)
+            y = (y * lw_ref[0, :].astype(jnp.float32)
+                 + lb_ref[0, :].astype(jnp.float32))
+            amax = jnp.max(jnp.abs(y), axis=1, keepdims=True)
+            s1 = amax / 127.0 + 1e-12
+            c1_ref[:] = jnp.clip(jnp.round(y / s1), -127, 127).astype(jnp.int8)
+            s1_ref[:] = s1
+
+        @pl.when(j < cq)
+        def _qkv():
+            a = jax.lax.dot_general(
+                c1_ref[:], qw_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            qkv_ref[:, pl.dslice(j * ncq, ncq)] = (
+                a.astype(jnp.float32) * s1_ref[:] * qws_ref[0, :]
+                + qb_ref[0, :]).astype(cdt)
+
+        @pl.when(j >= cq)
+        def _ho():
+            cc = j - cq
+            rows = jax.lax.broadcasted_iota(jnp.int32, (rt, rt), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (rt, rt), 1)
+            invalid = (rows // s) != (cols // s)
+            if vl < s:
+                invalid = jnp.logical_or(invalid, cols % s >= vl)
+            if causal:
+                invalid = jnp.logical_or(invalid, cols % s > rows % s)
+            bias = jnp.where(invalid, NEG_INF, 0.0).astype(jnp.float32)
+
+            ct = (((1,), (1,)), ((), ()))
+            cn = (((1,), (0,)), ((), ()))
+            outs = []
+            for t in range(hg):
+                off = (cc * hg + t) * dh
+                qh = qkv_ref[:, pl.dslice(off, dh)] * jnp.asarray(scale, cdt)
+                kh = qkv_ref[:, pl.dslice(hl + off, dh)]
+                vh = qkv_ref[:, pl.dslice(2 * hl + off, dh)]
+                scores = jax.lax.dot_general(
+                    qh, kh, ct, preferred_element_type=jnp.float32)
+                scores = scores + bias
+                scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+                p = jnp.exp(scores)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                outs.append(jax.lax.dot_general(
+                    p.astype(cdt), vh, cn, preferred_element_type=jnp.float32))
+            yo = jnp.concatenate(outs, axis=1)        # [rt, hg*dh] f32
+            amax2 = jnp.max(jnp.abs(yo), axis=1, keepdims=True)
+            s2 = amax2 / 127.0 + 1e-12                # per head-GROUP scale
+            c2 = jnp.clip(jnp.round(yo / s2), -127, 127).astype(jnp.int8)
+            d = jax.lax.dot_general(
+                c2, ow_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            part = d.astype(jnp.float32) * s2 * ows_ref[0, :]
+            acc_ref[:] = jnp.where(cc == 0, part, acc_ref[:] + part)
+
+            @pl.when(j == cq + ch - 1)
+            def _emit():
+                tt = acc_ref[:].astype(o_ref.dtype)
+                if db_ref is not None:
+                    tt = tt + db_ref[0, :].astype(o_ref.dtype)
+                    if residual:
+                        tt = x_ref[:].astype(o_ref.dtype) + tt
+                o_ref[:] = tt
+
+    if ob is None:
+        def kernel(x_ref, lw, lb, qw, qws_r, qb_r, ow, ows_r, o_ref, *scr):
+            body(x_ref, lw, lb, qw, qws_r, qb_r, ow, ows_r, None, o_ref, *scr)
+    else:
+        kernel = body
+
+    rep = lambda i, j: (0, 0)
+    in_specs = [
+        pl.BlockSpec((rt, h), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h), rep, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h), rep, memory_space=pltpu.VMEM),
+        # qkv weight chunk: holds at the last chunk during phase HO
+        pl.BlockSpec((ncq, h), lambda i, j: (jnp.minimum(j, cq - 1), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ncq), lambda i, j: (0, jnp.minimum(j, cq - 1)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ncq), lambda i, j: (0, jnp.minimum(j, cq - 1)),
+                     memory_space=pltpu.VMEM),
+        # o weight chunk: holds at chunk 0 during phase Q
+        pl.BlockSpec((h_out, nco), lambda i, j: (0, jnp.maximum(j - cq, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h_out), rep, memory_space=pltpu.VMEM),
+    ]
+    operands = [x2, lnw.reshape(1, h), lnb.reshape(1, h), qw8,
+                qws.reshape(1, h3), qb.reshape(1, h3), ow8,
+                ows.reshape(1, h_out)]
+    if ob is not None:
+        in_specs.append(pl.BlockSpec((1, h_out), rep,
+                                     memory_space=pltpu.VMEM))
+        operands.append(ob.reshape(1, h_out))
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b_pad * s, h_out), out_dtype),
+        grid=(b_pad // bb, cq + ch),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((rt, h_out), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rt, h), jnp.int8),        # LN'd codes
+            pltpu.VMEM((rt, 1), jnp.float32),     # LN quant scales
+            pltpu.VMEM((rt, h3), out_dtype),      # qkv staging (cdt follows
+                                                  # the block's compute dtype)
+            pltpu.VMEM((rt, h_out), jnp.float32),  # o-GEMM accumulator
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * s * (h * h3 + h_out * hl)
+            + 4 * b_pad * s * rt * hl,
             bytes_accessed=2 * b_pad * s * (h + h_out),
             transcendentals=b_pad * n_head * s * rt,
         ),
