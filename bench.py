@@ -37,7 +37,11 @@ BASELINE_IMAGES_PER_SEC = 20.0
 BATCH = 384  # knee re-swept round 4 under the fused-block kernels: 384 -> 18.1k,
              # 416 -> 18.0k, 448 -> 18.1k, 512 -> 17.5k in-window (scripts/bench_knee.py);
              # 384 also divides the gemm_gq/attention row blocks exactly
-ITERS_PER_ROUND = 20   # deep dispatch pipeline: hides the relay's per-call cost
+ITERS_PER_ROUND = 80   # deep dispatch pipeline: the axon relay charges ~24 ms
+                       # per synchronous readback (measured, scripts/roofline_b32.py),
+                       # so each round's single sync adds RTT/ITERS of phantom
+                       # per-iter cost — 80 iters cuts it to ~0.3 ms (round 4's
+                       # 20 iters left 1.2 ms of relay artifact in the headline)
 ROUNDS = 5
 
 

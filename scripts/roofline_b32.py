@@ -38,6 +38,7 @@ from clip_tpu.synth import make_synthetic_gguf
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 384
 DEPTHS = (2, 14)
 ITERS = 8
+FULL_ITERS = 40
 EPS = 1e-5
 
 # measured chip rates (PERF_NOTES "Hardware note" + trace bandwidth)
@@ -71,9 +72,33 @@ def slope(layer_fn, x0, name):
     return per
 
 
+def measure_rtt():
+    """Pure relay sync cost: readback of an already-materialized scalar.
+
+    The axon relay charges ~25 ms per synchronous device->host round trip
+    (measured round 5); any loop that forces once per ITERS inherits
+    RTT/ITERS of phantom per-iter cost.  Measure it so the full-step number
+    can amortize it away (slope estimates cancel it by construction)."""
+    x = jax.device_put(jnp.ones((8, 8), jnp.float32))
+    s = jnp.sum(x)
+    float(s)
+    ts = []
+    for _ in range(5):
+        s = jnp.sum(x) + 0.0
+        t0 = time.perf_counter()
+        float(s)
+        ts.append(time.perf_counter() - t0)
+    # s was dispatched just before the timer: the force pays one full RTT
+    rtt = min(ts)
+    print(f"relay sync RTT ~{rtt * 1e3:.1f} ms (amortized over "
+          f"{FULL_ITERS} full-step iters)", flush=True)
+    return rtt
+
+
 def main():
     enable_compile_cache()
     print(f"backend={jax.default_backend()} B={BATCH}", flush=True)
+    rtt = measure_rtt()
     cache = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".cache")
     path = os.path.join(cache, "bench_vit-b-32_q4_0_vision.gguf")
@@ -106,13 +131,13 @@ def main():
     best = []
     for _ in range(4):
         t0 = time.perf_counter()
-        for _ in range(ITERS):
+        for _ in range(FULL_ITERS):
             out = fn(params, pixels)
         float(jnp.sum(out))
-        best.append((time.perf_counter() - t0) / ITERS)
-    full = min(best)
-    print(f"full step    {full * 1e3:7.3f} ms  ({BATCH / full:.0f} img/s)",
-          flush=True)
+        best.append((time.perf_counter() - t0) / FULL_ITERS)
+    full = min(best) - rtt / FULL_ITERS
+    print(f"full step    {full * 1e3:7.3f} ms  ({BATCH / full:.0f} img/s) "
+          f"[RTT-corrected]", flush=True)
 
     def attn_layer(x):
         return transformer.attention(
