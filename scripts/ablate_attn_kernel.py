@@ -1,0 +1,355 @@
+"""Differential ablation of the whole-attention-block kernel (round 5).
+
+Clones ``_attn_half`` with pieces toggleable (TIMING ONLY — numerics of the
+ablated variants are intentionally wrong) and slope-times each variant at
+the production B/32 bench shape (rt=200, H=768, 12 heads) to attribute the
+measured 0.663 ms/layer:
+
+  full          the production kernel
+  no_ln         skip LN (quantize raw x)
+  no_softmax    p = masked scores (no max/exp/sum/div)
+  no_requant    skip the o-GEMM's row quant (cast f32 -> int8 directly)
+  no_rescale    skip the qkv acc rescale+bias (cast int32 acc -> cdt)
+  no_attn       skip scores/softmax/mix entirely (requant a qkv slice)
+  i8_scores     int8 score dot (quantize q,k rows per head) — VERDICT item 2
+  i8_scores_g   int8 score dot with ONE shared scale per head (cheap amax)
+
+Run: python scripts/ablate_attn_kernel.py [batch]
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from clip_tpu.ops.attention_pallas import NEG_INF, _flat_block_b
+from clip_tpu.utils import enable_compile_cache
+
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 384
+S, H, NH = 50, 768, 12
+H3 = 3 * H
+DH = H // NH
+EPS = 1e-5
+DEPTHS = (2, 14)
+ITERS = 8
+
+
+def _half(x, lw, lb, qw, qws, qb, ow, ows, ob, *, mode, cdt=jnp.bfloat16):
+    rt = x.shape[0]
+    hl = H
+    scale = 1.0 / np.sqrt(DH)
+
+    xv = x.astype(jnp.float32)
+    if mode != "no_ln":
+        mu = jnp.mean(xv, axis=1, keepdims=True)
+        ms = jnp.mean(xv * xv, axis=1, keepdims=True)
+        var = jnp.maximum(ms - mu * mu, 0.0)
+        y = (xv - mu) * jax.lax.rsqrt(var + EPS)
+        y = y * lw[0, :].astype(jnp.float32) + lb[0, :].astype(jnp.float32)
+    else:
+        y = xv
+    amax = jnp.max(jnp.abs(y), axis=1, keepdims=True)
+    s1 = amax / 127.0 + 1e-12
+    c1 = jnp.clip(jnp.round(y / s1), -127, 127).astype(jnp.int8)
+
+    acc = jax.lax.dot_general(c1, qw[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    if mode == "no_rescale":
+        qkv = acc.astype(cdt)
+    else:
+        qkv = (acc.astype(jnp.float32) * s1 * qws[0, :] + qb[0, :]).astype(cdt)
+
+    if mode == "no_attn":
+        yo = qkv[:, :hl].astype(jnp.float32)
+    elif mode == "slices_only":
+        outs = []
+        for hd in range(NH):
+            qs = slice(hd * DH, (hd + 1) * DH)
+            ks = slice(hl + hd * DH, hl + (hd + 1) * DH)
+            vs = slice(2 * hl + hd * DH, 2 * hl + (hd + 1) * DH)
+            outs.append((qkv[:, qs] + qkv[:, ks] + qkv[:, vs])
+                        .astype(jnp.float32))
+        yo = jnp.concatenate(outs, axis=1)
+    elif mode == "slices_w128":
+        outs = []
+        for hd in range(0, NH, 2):
+            qs = slice(hd * DH, (hd + 2) * DH)
+            ks = slice(hl + hd * DH, hl + (hd + 2) * DH)
+            vs = slice(2 * hl + hd * DH, 2 * hl + (hd + 2) * DH)
+            outs.append((qkv[:, qs] + qkv[:, ks] + qkv[:, vs])
+                        .astype(jnp.float32))
+        yo = jnp.concatenate(outs, axis=1)
+    elif mode == "concat_only":
+        outs = []
+        for hd in range(NH):
+            vs = slice(2 * hl + hd * DH, 2 * hl + (hd + 1) * DH)
+            outs.append(qkv[:, vs].astype(jnp.float32))
+        yo = jnp.concatenate(outs, axis=1)
+    elif mode == "sm_pipelined":
+        # software-pipeline heads: emit head h+1's score dot before head h's
+        # softmax/mix so Mosaic can overlap MXU and VPU work. Numerics exact.
+        rows = jax.lax.broadcasted_iota(jnp.int32, (rt, rt), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (rt, rt), 1)
+        invalid = (rows // S) != (cols // S)
+        bias = jnp.where(invalid, NEG_INF, 0.0).astype(jnp.float32)
+        ct = (((1,), (1,)), ((), ()))
+        cn = (((1,), (0,)), ((), ()))
+
+        def score(hd):
+            qs = slice(hd * DH, (hd + 1) * DH)
+            ks = slice(hl + hd * DH, hl + (hd + 1) * DH)
+            qh = qkv[:, qs] * jnp.asarray(scale, qkv.dtype)
+            return jax.lax.dot_general(
+                qh, qkv[:, ks], ct,
+                preferred_element_type=jnp.float32) + bias
+
+        outs = []
+        s_next = score(0)
+        for hd in range(NH):
+            s_cur = s_next
+            if hd + 1 < NH:
+                s_next = score(hd + 1)
+            vs = slice(2 * hl + hd * DH, 2 * hl + (hd + 1) * DH)
+            s_cur = s_cur - jnp.max(s_cur, axis=-1, keepdims=True)
+            p = jnp.exp(s_cur)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            outs.append(jax.lax.dot_general(
+                p.astype(cdt), qkv[:, vs], cn,
+                preferred_element_type=jnp.float32))
+        yo = jnp.concatenate(outs, axis=1)
+    elif mode == "sm_transpose":
+        rows = jax.lax.broadcasted_iota(jnp.int32, (rt, rt), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (rt, rt), 1)
+        invalid_t = (rows // S) != (cols // S)
+        bias_t = jnp.where(invalid_t, NEG_INF, 0.0).astype(jnp.float32)
+        ct = (((1,), (1,)), ((), ()))
+        c0 = (((0,), (0,)), ((), ()))
+        outs = []
+        for hd in range(NH):
+            qs = slice(hd * DH, (hd + 1) * DH)
+            ks = slice(hl + hd * DH, hl + (hd + 1) * DH)
+            vs = slice(2 * hl + hd * DH, 2 * hl + (hd + 1) * DH)
+            qh = qkv[:, qs] * jnp.asarray(scale, qkv.dtype)
+            st = jax.lax.dot_general(
+                qkv[:, ks], qh, ct, preferred_element_type=jnp.float32)
+            st = st + bias_t  # [rt_k, rt_q]; mask symmetric block-diag
+            st = st - jnp.max(st, axis=0, keepdims=True)
+            p = jnp.exp(st)
+            r = 1.0 / jnp.sum(st, axis=0, keepdims=True)  # timing probe
+            mix = jax.lax.dot_general(
+                p.astype(cdt), qkv[:, vs], c0,
+                preferred_element_type=jnp.float32)
+            outs.append(mix * r.reshape(rt, 1))
+        yo = jnp.concatenate(outs, axis=1)
+    else:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (rt, rt), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (rt, rt), 1)
+        invalid = (rows // S) != (cols // S)
+        bias = jnp.where(invalid, NEG_INF, 0.0).astype(jnp.float32)
+        ct = (((1,), (1,)), ((), ()))
+        cn = (((1,), (0,)), ((), ()))
+        outs = []
+        for hd in range(NH):
+            qs = slice(hd * DH, (hd + 1) * DH)
+            ks = slice(hl + hd * DH, hl + (hd + 1) * DH)
+            vs = slice(2 * hl + hd * DH, 2 * hl + (hd + 1) * DH)
+            if mode in ("i8_scores", "i8_scores_g"):
+                qh = qkv[:, qs].astype(jnp.float32) * scale
+                kh = qkv[:, ks].astype(jnp.float32)
+                if mode == "i8_scores":
+                    sq = jnp.max(jnp.abs(qh), axis=1, keepdims=True) / 127.0 + 1e-12
+                    sk = jnp.max(jnp.abs(kh), axis=1, keepdims=True) / 127.0 + 1e-12
+                else:  # one scale per head: scalar broadcasts, no rank-1 outer
+                    sq = jnp.max(jnp.abs(qh)) / 127.0 + 1e-12
+                    sk = jnp.max(jnp.abs(kh)) / 127.0 + 1e-12
+                q8 = jnp.clip(jnp.round(qh / sq), -127, 127).astype(jnp.int8)
+                k8 = jnp.clip(jnp.round(kh / sk), -127, 127).astype(jnp.int8)
+                si = jax.lax.dot_general(q8, k8, ct,
+                                         preferred_element_type=jnp.int32)
+                if mode == "i8_scores":
+                    scores = si.astype(jnp.float32) * sq * sk[:, 0][None, :]
+                else:
+                    scores = si.astype(jnp.float32) * (sq * sk)
+            else:
+                qh = qkv[:, qs] * jnp.asarray(scale, qkv.dtype)
+                scores = jax.lax.dot_general(
+                    qh, qkv[:, ks], ct, preferred_element_type=jnp.float32)
+            scores = scores + bias
+            if mode == "no_softmax":
+                p = scores * 1e-4
+            elif mode == "sm_nodiv":
+                scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+                p = jnp.exp(scores)
+                p = p + jnp.sum(p, axis=-1, keepdims=True)
+            elif mode == "sm_nomax":
+                p = jnp.exp(scores)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+            elif mode == "sm_noexp":
+                scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+                p = scores
+                p = p / (jnp.sum(p, axis=-1, keepdims=True) - NEG_INF)
+            elif mode == "sm_fold":
+                # numerics-preserving candidate: divide AFTER the V mix on
+                # [rt, dh] instead of on [rt, rt] (3x fewer divides)
+                scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+                p = jnp.exp(scores)
+                r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+                outs.append(jax.lax.dot_general(
+                    p.astype(cdt), qkv[:, vs], cn,
+                    preferred_element_type=jnp.float32) * r)
+                continue
+            elif mode == "sm_fold_nomax":
+                p = jnp.exp(scores)
+                r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+                outs.append(jax.lax.dot_general(
+                    p.astype(cdt), qkv[:, vs], cn,
+                    preferred_element_type=jnp.float32) * r)
+                continue
+            elif mode == "sm_nosum":
+                scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+                p = jnp.exp(scores) * np.float32(0.02)
+            elif mode == "sm_bf16":
+                sb = scores.astype(jnp.bfloat16)
+                sb = sb - jnp.max(sb, axis=-1, keepdims=True)
+                p = jnp.exp(sb)
+                r = (1.0 / jnp.sum(p, axis=-1, keepdims=True,
+                                   dtype=jnp.float32)).astype(jnp.float32)
+                outs.append(jax.lax.dot_general(
+                    p, qkv[:, vs], cn,
+                    preferred_element_type=jnp.float32) * r)
+                continue
+            elif mode == "sm_exp2":
+                lg2e = np.float32(np.log2(np.e))
+                s2x = scores * lg2e
+                s2x = s2x - jnp.max(s2x, axis=-1, keepdims=True)
+                p = jnp.exp2(s2x)
+                r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+                outs.append(jax.lax.dot_general(
+                    p.astype(cdt), qkv[:, vs], cn,
+                    preferred_element_type=jnp.float32) * r)
+                continue
+            else:
+                scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+                p = jnp.exp(scores)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+            outs.append(jax.lax.dot_general(
+                p.astype(cdt), qkv[:, vs], cn,
+                preferred_element_type=jnp.float32))
+        yo = jnp.concatenate(outs, axis=1)
+
+    if mode == "no_requant":
+        c2 = yo.astype(jnp.int8)
+        s2 = jnp.ones((rt, 1), jnp.float32)
+    else:
+        amax2 = jnp.max(jnp.abs(yo), axis=1, keepdims=True)
+        s2 = amax2 / 127.0 + 1e-12
+        c2 = jnp.clip(jnp.round(yo / s2), -127, 127).astype(jnp.int8)
+    acc2 = jax.lax.dot_general(c2, ow[:], (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    t = (acc2.astype(jnp.float32) * s2 * ows[0, :]).astype(cdt)
+    t = t + ob[0, :].astype(cdt)
+    return x.astype(cdt) + t
+
+
+def make_op(mode):
+    bb = _flat_block_b(BATCH, S, H3)
+    rt = bb * S
+
+    def kernel(x_ref, lw, lb, qw, qws, qb, ow, ows, ob, o_ref):
+        o_ref[:] = _half(x_ref[:], lw, lb, qw, qws, qb, ow, ows, ob,
+                         mode=mode, cdt=o_ref.dtype)
+
+    def op(x, lw, lb, qw, qws, qb, ow, ows, ob):
+        b, s, h = x.shape
+        x2 = x.reshape(b * s, h)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((b * s, h), jnp.bfloat16),
+            grid=(b // bb,),
+            in_specs=[
+                pl.BlockSpec((rt, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((H3, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, H3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, H3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((h, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((rt, h), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        )(x2, lw, lb, qw, qws, qb, ow, ows, ob)
+        return out.reshape(b, s, h)
+
+    return op
+
+
+def slope(op, args, name):
+    x0 = args[0]
+    rest = args[1:]
+
+    def chain(d):
+        def f(x):
+            for _ in range(d):
+                x = op(x, *rest)
+            return x
+        return jax.jit(f)
+
+    fns = {d: chain(d) for d in DEPTHS}
+    for d in DEPTHS:
+        float(jnp.sum(fns[d](x0)))
+    ts = {}
+    for d in DEPTHS:
+        best = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                out = fns[d](x0)
+            float(jnp.sum(out))
+            best.append((time.perf_counter() - t0) / ITERS)
+        ts[d] = min(best)
+    per = (ts[DEPTHS[1]] - ts[DEPTHS[0]]) / (DEPTHS[1] - DEPTHS[0])
+    print(f"{name:14s} {per * 1e3:7.4f} ms/layer", flush=True)
+    return per
+
+
+def main():
+    enable_compile_cache()
+    print(f"backend={jax.default_backend()} B={BATCH} rt="
+          f"{_flat_block_b(BATCH, S, H3) * S}", flush=True)
+    rng = np.random.default_rng(0)
+    x0 = jax.device_put(jnp.asarray(
+        rng.normal(0, 1, (BATCH, S, H)), jnp.bfloat16))
+    lw = jnp.asarray(rng.normal(1, 0.1, (1, H)), jnp.bfloat16)
+    lb = jnp.asarray(rng.normal(0, 0.1, (1, H)), jnp.bfloat16)
+    qw = jnp.asarray(rng.integers(-127, 128, (H3, H)), jnp.int8)
+    qws = jnp.asarray(rng.uniform(1e-3, 2e-3, (1, H3)), jnp.float32)
+    qb = jnp.asarray(rng.normal(0, 0.02, (1, H3)), jnp.float32)
+    ow = jnp.asarray(rng.integers(-127, 128, (H, H)), jnp.int8)
+    ows = jnp.asarray(rng.uniform(1e-3, 2e-3, (1, H)), jnp.float32)
+    ob = jnp.asarray(rng.normal(0, 0.02, (1, H)), jnp.bfloat16)
+    args = (x0, lw, lb, qw, qws, qb, ow, ows, ob)
+
+    base = slope(make_op("full"), args, "full")
+    modes = sys.argv[2].split(",") if len(sys.argv) > 2 else (
+        "no_ln", "no_softmax", "no_requant", "no_rescale",
+        "no_attn", "i8_scores", "i8_scores_g")
+    for mode in modes:
+        t = slope(make_op(mode), args, mode)
+        print(f"               delta vs full: {(base - t) * 1e3:+7.4f} ms",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
