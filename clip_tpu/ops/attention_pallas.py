@@ -29,6 +29,37 @@ __all__ = ["flat_eligible", "mha_pallas", "mha_pallas_qkv",
 
 NEG_INF = -1e9
 
+# Softmax without the row-max subtract: the subtracted max is only a
+# numerical-range guard, and a static clip gives the same guarantee without
+# the cross-lane max reduce (measured 0.067 ms/layer at the B/32 bench shape,
+# scripts/ablate_attn_kernel.py round 5).  Safety of the +-80 bound:
+#   * no overflow: exp(80) * rt < 1.2e37 < f32 max for any rt <= 2e5;
+#   * no 0/0 rows: exp(-80) = 1.8e-35 is a NORMAL f32 (not flushed to zero
+#     on TPU), so even a row whose scores all clip low still normalizes;
+#   * masked entries stay EXACTLY 0: the clip applies BEFORE the additive
+#     -1e9 mask, so masked logits still reach exp as -1e9 -> 0.0 — the
+#     pad-once bit-identity of real rows (models/vision.py) is preserved.
+# Mathematically exp(s)/sum(exp(s)) == exp(s-m)/sum(exp(s-m)); results
+# differ from the subtracted form only in f32 rounding (~1e-7 relative)
+# unless true scores leave +-80, which post-LN CLIP attention never
+# approaches (typical logits are O(30); ggml's reference softmax at
+# /root/reference/clip.cpp:1172-1177 subtracts the max for the same range
+# guard, not for value).  SOFTMAX_EXACT_MAX restores the subtracted form.
+SOFTMAX_EXACT_MAX = False
+_SM_BOUND = 80.0
+
+
+def _softmax_rows(scores, bias):
+    """Masked row softmax shared by every attention kernel (bias is the
+    additive 0/-1e9 mask; see SOFTMAX_EXACT_MAX note above)."""
+    if SOFTMAX_EXACT_MAX:
+        scores = scores + bias
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores)
+    else:
+        p = jnp.exp(jnp.clip(scores, -_SM_BOUND, _SM_BOUND) + bias)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
 
 def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, n_head, seq_len, causal, scale):
     """One grid step = ``bb`` images.  The bb images are stacked along the
@@ -61,10 +92,7 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, n_head, seq_len, causal, scale):
         scores = jax.lax.dot_general(
             qh, kh, contract_t, preferred_element_type=jnp.float32
         )
-        scores = scores + bias
-        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp(scores)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        p = _softmax_rows(scores, bias)
         out = jax.lax.dot_general(
             p.astype(q_ref.dtype), vh, contract_n, preferred_element_type=jnp.float32
         )
@@ -103,10 +131,7 @@ def _qkv_kernel(qkv_ref, o_ref, *, n_head, seq_len, causal, scale):
         scores = jax.lax.dot_general(
             qh, kh, contract_t, preferred_element_type=jnp.float32
         )
-        scores = scores + bias
-        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp(scores)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        p = _softmax_rows(scores, bias)
         out = jax.lax.dot_general(
             p.astype(qkv_ref.dtype), vh, contract_n, preferred_element_type=jnp.float32
         )
@@ -155,10 +180,7 @@ def _qkv_kernel_flat(qkv_ref, o_ref, *s_ref_opt, n_head, seq_len, causal,
         scores = jax.lax.dot_general(
             qh, kh, contract_t, preferred_element_type=jnp.float32
         )
-        scores = scores + bias
-        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp(scores)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        p = _softmax_rows(scores, bias)
         out = jax.lax.dot_general(
             p.astype(qkv_ref.dtype), vh, contract_n, preferred_element_type=jnp.float32
         )
@@ -217,10 +239,8 @@ def _qkv_kernel_flat_i8(qkv_ref, s_ref, o_ref, *s_ref_opt, n_head, seq_len,
         acc = jax.lax.dot_general(
             qkv_ref[:, qs], qkv_ref[:, ks], ct,
             preferred_element_type=jnp.int32)
-        scores = acc.astype(jnp.float32) * srow * scol + bias
-        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp(scores)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        scores = acc.astype(jnp.float32) * srow * scol
+        p = _softmax_rows(scores, bias)
         vh = (qkv_ref[:, vs].astype(jnp.float32) * sx).astype(jnp.bfloat16)
         out = jax.lax.dot_general(
             p.astype(jnp.bfloat16), vh, cn, preferred_element_type=jnp.float32)
@@ -412,10 +432,7 @@ def _attn_half(x, lw_ref, lb_ref, qw_ref, qws_ref, qb_ref, ow_ref, ows_ref,
         qh = qkv[:, qs] * jnp.asarray(scale, qkv.dtype)
         scores = jax.lax.dot_general(
             qh, qkv[:, ks], ct, preferred_element_type=jnp.float32)
-        scores = scores + bias
-        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp(scores)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        p = _softmax_rows(scores, bias)
         outs.append(jax.lax.dot_general(
             p.astype(cdt), qkv[:, vs], cn,
             preferred_element_type=jnp.float32))
@@ -713,10 +730,7 @@ def attn_block_stream_pallas(
                 vh = qkv_ref[:, pl.dslice(2 * hl + off, dh)]
                 scores = jax.lax.dot_general(
                     qh, kh, ct, preferred_element_type=jnp.float32)
-                scores = scores + bias
-                scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-                p = jnp.exp(scores)
-                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                p = _softmax_rows(scores, bias)
                 outs.append(jax.lax.dot_general(
                     p.astype(cdt), vh, cn, preferred_element_type=jnp.float32))
             yo = jnp.concatenate(outs, axis=1)        # [rt, hg*dh] f32
