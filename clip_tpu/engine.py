@@ -115,14 +115,17 @@ class _LayoutAwareJit:
     in-window, bit-identical (scripts/bench_pixel_layout.py).
 
     Same number of compiles as plain jit (the AOT probe IS the compile).
-    Self-correcting against relayout-program dishonesty: staging runs
+    Self-protecting against relayout-program dishonesty: staging runs
     through a jitted identity with ``out_shardings`` (``device_put(x, fmt)``
     silently commits the wrong layout through the compile-cache relay), and
-    if even THAT identity cannot produce the AUTO-probed layout (observed:
-    requested (1,3,2,0), got (0,3,1,2) — process-state dependent), the model
-    is recompiled pinned to the layout staging actually produces; a pinned
-    operand layout is embedded in the module, so the required/produced pair
-    agrees by construction.  Falls back to jax.jit if the layout API ever
+    if THAT identity cannot produce the AUTO-probed layout (observed:
+    requested (1,3,2,0), got (0,3,1,2) — process-state dependent), layout
+    staging is abandoned for this shape and the plain-jit default-layout
+    path is used.  Round 3's repin-to-actual alternative is gone: through
+    the relay the repinned executable still rejects the staged arrays at
+    runtime, and one layout-mismatched execution POISONS the process's TPU
+    client (every subsequent compile fails INVALID_ARGUMENT — round-5
+    finding, ViT-L/14 B=192).  Falls back to jax.jit if the layout API ever
     refuses (non-TPU quirk)."""
 
     def __init__(self, fn):
@@ -154,11 +157,19 @@ class _LayoutAwareJit:
                 staged = stager(*batch)
                 actual = tuple(s.format for s in staged)
                 if not self._same_layouts(actual, fmts):
-                    compiled = jax.jit(
-                        self._fn, in_shardings=(None, *actual),
-                    ).lower(params, *specs).compile()
-                    stager = jax.jit(lambda *bs: bs, out_shardings=actual)
-                entry = (compiled, stager)
+                    # The stager refused the probed layout.  Round 3's repin
+                    # (recompile pinned to `actual`) no longer survives the
+                    # relay: the repinned executable ALSO rejects the staged
+                    # arrays at runtime (observed ViT-L/14 B=192 round 5),
+                    # and one such failed execution POISONS the process's TPU
+                    # client — every later compile returns INVALID_ARGUMENT.
+                    # So on any staging disagreement, give up on layout
+                    # staging entirely (default layouts, plain jit): the
+                    # relayout copy costs ~2% where staging works; a poisoned
+                    # engine costs everything.
+                    entry = (jax.jit(self._fn), None)
+                else:
+                    entry = (compiled, stager)
             except Exception:  # pragma: no cover - defensive fallback
                 entry = (jax.jit(self._fn), None)
             self._cache[key] = entry
@@ -185,9 +196,11 @@ def aot_layout_staged(fn, params, *batch):
     staged = jax.jit(lambda *bs: bs, out_shardings=fmts)(*batch)
     actual = tuple(s.format for s in staged)
     if not _LayoutAwareJit._same_layouts(actual, fmts):
-        compiled = jax.jit(
-            fn, in_shardings=(None, *actual),
-        ).lower(params, *specs).compile()
+        # staging disagreement: do NOT repin-and-run (a layout-mismatched
+        # execution poisons the process's TPU client through the relay —
+        # see _LayoutAwareJit) — fall back to default layouts outright
+        compiled = jax.jit(fn).lower(params, *specs).compile()
+        staged = tuple(jax.device_put(b) for b in batch)
     return compiled, staged
 
 
