@@ -77,16 +77,24 @@ def make_images(n: int, size: int = 224) -> list[str]:
 
 
 def run_mix(name: str, port: int, clients: int, requests: int, make_req) -> float:
-    """clients threads x requests sequential posts each; returns req/s."""
+    """clients threads x requests sequential posts each; returns req/s and
+    prints per-request latency percentiles."""
     errors: list[str] = []
+    lats: list[float] = []
+    lat_lock = threading.Lock()
     barrier = threading.Barrier(clients + 1)
 
     def worker(wid: int) -> None:
         try:
             barrier.wait()
+            mine = []
             for i in range(requests):
                 path, obj = make_req(wid, i)
+                t0 = time.perf_counter()
                 _post(port, path, obj)
+                mine.append(time.perf_counter() - t0)
+            with lat_lock:
+                lats.extend(mine)
         except Exception as e:  # noqa: BLE001
             errors.append(f"{type(e).__name__}: {e}")
 
@@ -101,8 +109,12 @@ def run_mix(name: str, port: int, clients: int, requests: int, make_req) -> floa
     if errors:
         raise RuntimeError(f"{name}: {len(errors)} client errors, first: {errors[0]}")
     rps = clients * requests / dt
+    import numpy as np
+    a = np.sort(np.asarray(lats)) * 1e3
+    p50, p99 = a[len(a) // 2], a[min(len(a) - 1, int(len(a) * 0.99))]
     print(f"{name:6s} {clients} clients x {requests} req: "
-          f"{dt:6.2f}s  {rps:7.1f} req/s", flush=True)
+          f"{dt:6.2f}s  {rps:7.1f} req/s   p50 {p50:6.1f} ms  p99 {p99:6.1f} ms",
+          flush=True)
     return rps
 
 
