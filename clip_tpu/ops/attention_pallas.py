@@ -61,6 +61,24 @@ def _softmax_rows(scores, bias):
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
+def _quant_heads(outs):
+    """Per-head requant of the attention mix: elementwise max of per-head
+    row amaxes (== the full-row amax EXACTLY, max is associative) then
+    per-head divide/round/clip, concatenated as int8.  Bit-identical values
+    to concat-then-quantize, but the 768-lane reduce becomes 64-lane
+    reduces and the concat moves to int8 (half the bytes): +0.087 ms/layer
+    at the B/32 bench shape (scripts/ablate_attn_kernel.py req_perhead_div).
+    Returns (codes [rt, n*dh] int8, scales [rt, 1] f32)."""
+    amax = jnp.max(jnp.abs(outs[0]), axis=1, keepdims=True)
+    for o in outs[1:]:
+        amax = jnp.maximum(amax, jnp.max(jnp.abs(o), axis=1, keepdims=True))
+    sx = amax / 127.0 + 1e-12
+    codes = jnp.concatenate(
+        [jnp.clip(jnp.round(o / sx), -127, 127).astype(jnp.int8)
+         for o in outs], axis=1)
+    return codes, sx
+
+
 def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, n_head, seq_len, causal, scale):
     """One grid step = ``bb`` images.  The bb images are stacked along the
     row axis so each head runs ONE [bb*S, D] x [D, bb*S] MXU dot instead of
@@ -189,10 +207,8 @@ def _qkv_kernel_flat(qkv_ref, o_ref, *s_ref_opt, n_head, seq_len, causal,
         else:
             o_ref[:, qs] = out.astype(o_ref.dtype)
     if quant_out:
-        y = jnp.concatenate(outs, axis=1)          # [rt, h] f32
-        amax = jnp.max(jnp.abs(y), axis=1, keepdims=True)
-        sx = amax / 127.0 + 1e-12
-        o_ref[:] = jnp.clip(jnp.round(y / sx), -127, 127).astype(jnp.int8)
+        codes, sx = _quant_heads(outs)
+        o_ref[:] = codes
         s_ref_opt[0][:] = sx
 
 
@@ -249,10 +265,8 @@ def _qkv_kernel_flat_i8(qkv_ref, s_ref, o_ref, *s_ref_opt, n_head, seq_len,
         else:
             o_ref[:, qs] = out.astype(o_ref.dtype)
     if quant_out:
-        y = jnp.concatenate(outs, axis=1)                 # [rt, h] f32
-        amax = jnp.max(jnp.abs(y), axis=1, keepdims=True)
-        sp = amax / 127.0 + 1e-12
-        o_ref[:] = jnp.clip(jnp.round(y / sp), -127, 127).astype(jnp.int8)
+        codes, sp = _quant_heads(outs)
+        o_ref[:] = codes
         s_ref_opt[0][:] = sp
 
 
@@ -437,10 +451,7 @@ def _attn_half(x, lw_ref, lb_ref, qw_ref, qws_ref, qb_ref, ow_ref, ows_ref,
             p.astype(cdt), qkv[:, vs], cn,
             preferred_element_type=jnp.float32))
 
-    yo = jnp.concatenate(outs, axis=1)               # [rt, hl] f32
-    amax2 = jnp.max(jnp.abs(yo), axis=1, keepdims=True)
-    s2 = amax2 / 127.0 + 1e-12
-    c2 = jnp.clip(jnp.round(yo / s2), -127, 127).astype(jnp.int8)
+    c2, s2 = _quant_heads(outs)                      # [rt, hl] int8
     acc2 = jax.lax.dot_general(
         c2, ow_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)
@@ -733,10 +744,7 @@ def attn_block_stream_pallas(
                 p = _softmax_rows(scores, bias)
                 outs.append(jax.lax.dot_general(
                     p.astype(cdt), vh, cn, preferred_element_type=jnp.float32))
-            yo = jnp.concatenate(outs, axis=1)        # [rt, hg*dh] f32
-            amax2 = jnp.max(jnp.abs(yo), axis=1, keepdims=True)
-            s2 = amax2 / 127.0 + 1e-12                # per head-GROUP scale
-            c2 = jnp.clip(jnp.round(yo / s2), -127, 127).astype(jnp.int8)
+            c2, s2 = _quant_heads(outs)               # per head-GROUP scale
             d = jax.lax.dot_general(
                 c2, ow_ref[:], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32)

@@ -250,6 +250,23 @@ def _half(x, lw, lb, qw, qws, qb, ow, ows, ob, *, mode, cdt=jnp.bfloat16):
     if mode == "no_requant":
         c2 = yo.astype(jnp.int8)
         s2 = jnp.ones((rt, 1), jnp.float32)
+    elif mode in ("req_perhead", "req_perhead_div"):
+        # narrow per-head amaxes (64-lane reduces) + elementwise max across
+        # heads, quantize per head, concat int8 instead of f32
+        amaxes = [jnp.max(jnp.abs(o), axis=1, keepdims=True) for o in outs]
+        amax2 = amaxes[0]
+        for a in amaxes[1:]:
+            amax2 = jnp.maximum(amax2, a)
+        s2 = amax2 / 127.0 + 1e-12
+        if mode == "req_perhead_div":
+            c2 = jnp.concatenate(
+                [jnp.clip(jnp.round(o / s2), -127, 127).astype(jnp.int8)
+                 for o in outs], axis=1)
+        else:
+            r2 = 1.0 / s2
+            c2 = jnp.concatenate(
+                [jnp.clip(jnp.round(o * r2), -127, 127).astype(jnp.int8)
+                 for o in outs], axis=1)
     else:
         amax2 = jnp.max(jnp.abs(yo), axis=1, keepdims=True)
         s2 = amax2 / 127.0 + 1e-12
