@@ -7,9 +7,8 @@ Protocol
 --------
 * synthetic q4_0 ViT-B/32 vision-only GGUF (random weights — zero-egress env;
   identical shapes/compute to the real checkpoint),
-* quantized weights resident in HBM, bf16 compute, batch 384 (re-swept
-  256-640 after the ragged kernels: 384 divides the gemm_gq 256-row blocks
-  exactly and beats 448 in-window; 512+ falls off a scheduling cliff),
+* quantized weights resident in HBM, bf16 compute, batch 640 (re-swept
+  256-1280 after the round-5 kernel work; the curve plateaus 640-1280),
 * steady-state: 2 warmup rounds then median of 5 timed rounds of 10 encodes;
   each round ends with a host readback of a scalar reduction (the axon relay's
   block_until_ready is unreliable for full sync, so readback is the barrier).
@@ -34,9 +33,11 @@ import sys
 import time
 
 BASELINE_IMAGES_PER_SEC = 20.0
-BATCH = 384  # knee re-swept round 4 under the fused-block kernels: 384 -> 18.1k,
-             # 416 -> 18.0k, 448 -> 18.1k, 512 -> 17.5k in-window (scripts/bench_knee.py);
-             # 384 also divides the gemm_gq/attention row blocks exactly
+BATCH = 640  # knee re-swept round 5 under the tanh-gelu + clip-softmax +
+             # per-head-requant kernels (scripts/bench_knee.py): the round-4
+             # 512+ scheduling cliff is gone and the curve rises to a plateau
+             # at 640-1280 (23.1-23.7k in-window); 640 wins the bench protocol
+             # (25.7k vs 25.3k at 384) at 2x the round-4 headline batch
 ITERS_PER_ROUND = 80   # deep dispatch pipeline: the axon relay charges ~24 ms
                        # per synchronous readback (measured, scripts/roofline_b32.py),
                        # so each round's single sync adds RTT/ITERS of phantom

@@ -77,6 +77,18 @@ def _half(x, lw, lb, uw, uws, ub, dw, dws, db, *, mode, cdt=jnp.bfloat16):
             acc2 = jax.lax.dot_general(c2, dw[:], (((1,), (1,)), ((), ())),
                                        preferred_element_type=jnp.int32)
         return x.astype(cdt) + acc2.astype(cdt)
+    def _seg_quant(y, nseg):
+        w = y.shape[1] // nseg
+        segs = [y[:, j * w:(j + 1) * w] for j in range(nseg)]
+        amax = jnp.max(jnp.abs(segs[0]), axis=1, keepdims=True)
+        for sg in segs[1:]:
+            amax = jnp.maximum(amax, jnp.max(jnp.abs(sg), axis=1, keepdims=True))
+        sx = amax / 127.0 + 1e-12
+        c = jnp.concatenate(
+            [jnp.clip(jnp.round(sg / sx), -127, 127).astype(jnp.int8)
+             for sg in segs], axis=1)
+        return c, sx
+
     xv = x.astype(jnp.float32)
     if mode != "no_ln":
         mu = jnp.mean(xv, axis=1, keepdims=True)
@@ -86,14 +98,17 @@ def _half(x, lw, lb, uw, uws, ub, dw, dws, db, *, mode, cdt=jnp.bfloat16):
         y = y * lw[0, :].astype(jnp.float32) + lb[0, :].astype(jnp.float32)
     else:
         y = xv
-    amax = jnp.max(jnp.abs(y), axis=1, keepdims=True)
-    if mode == "recip_mul":
-        r1 = 127.0 / (amax + 1e-12)
-        c1 = jnp.clip(jnp.round(y * r1), -127, 127).astype(jnp.int8)
-        s1 = 1.0 / r1
+    if mode in ("q1_seg", "q12_seg"):
+        c1, s1 = _seg_quant(y, 6)
     else:
-        s1 = amax / 127.0 + 1e-12
-        c1 = jnp.clip(jnp.round(y / s1), -127, 127).astype(jnp.int8)
+        amax = jnp.max(jnp.abs(y), axis=1, keepdims=True)
+        if mode == "recip_mul":
+            r1 = 127.0 / (amax + 1e-12)
+            c1 = jnp.clip(jnp.round(y * r1), -127, 127).astype(jnp.int8)
+            s1 = 1.0 / r1
+        else:
+            s1 = amax / 127.0 + 1e-12
+            c1 = jnp.clip(jnp.round(y / s1), -127, 127).astype(jnp.int8)
 
     acc = jax.lax.dot_general(c1, uw[:], (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.int32)
@@ -119,6 +134,8 @@ def _half(x, lw, lb, uw, uws, ub, dw, dws, db, *, mode, cdt=jnp.bfloat16):
     if mode in ("no_requant", "gemms_only"):
         c2 = y2.astype(jnp.int8)
         s2 = jnp.ones((x.shape[0], 1), jnp.float32)
+    elif mode in ("q2_seg", "q12_seg"):
+        c2, s2 = _seg_quant(y2, 24)
     else:
         amax2 = jnp.max(jnp.abs(y2), axis=1, keepdims=True)
         if mode == "recip_mul":
