@@ -36,7 +36,8 @@ from clip_tpu.ops.attention_pallas import NEG_INF, _flat_block_b
 from clip_tpu.utils import enable_compile_cache
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 384
-S, H, NH = 50, 768, 12
+S = int(os.environ.get("ABL_S", "50"))
+H, NH = 768, 12
 H3 = 3 * H
 DH = H // NH
 EPS = 1e-5
@@ -184,8 +185,10 @@ def _half(x, lw, lb, qw, qws, qb, ow, ows, ob, *, mode, cdt=jnp.bfloat16):
                 qh = qkv[:, qs] * jnp.asarray(scale, qkv.dtype)
                 scores = jax.lax.dot_general(
                     qh, qkv[:, ks], ct, preferred_element_type=jnp.float32)
-            scores = scores + bias
+            if mode not in ("sm_maxsub",):
+                pass
             if mode == "no_softmax":
+                scores = scores + bias
                 p = scores * 1e-4
             elif mode == "sm_nodiv":
                 scores = scores - jnp.max(scores, axis=-1, keepdims=True)
@@ -238,9 +241,17 @@ def _half(x, lw, lb, qw, qws, qb, ow, ows, ob, *, mode, cdt=jnp.bfloat16):
                     p.astype(cdt), qkv[:, vs], cn,
                     preferred_element_type=jnp.float32) * r)
                 continue
+            elif mode == "sm_maxsub":
+                scores = scores - jnp.max(scores + bias, axis=-1, keepdims=True)
+                p = jnp.exp(scores + bias)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                outs.append(jax.lax.dot_general(
+                    p.astype(cdt), qkv[:, vs], cn,
+                    preferred_element_type=jnp.float32))
+                continue
             else:
-                scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-                p = jnp.exp(scores)
+                # production form (attention_pallas._softmax_rows)
+                p = jnp.exp(jnp.clip(scores, -80.0, 80.0) + bias)
                 p = p / jnp.sum(p, axis=-1, keepdims=True)
             outs.append(jax.lax.dot_general(
                 p.astype(cdt), qkv[:, vs], cn,
@@ -267,10 +278,19 @@ def _half(x, lw, lb, qw, qws, qb, ow, ows, ob, *, mode, cdt=jnp.bfloat16):
             c2 = jnp.concatenate(
                 [jnp.clip(jnp.round(o * r2), -127, 127).astype(jnp.int8)
                  for o in outs], axis=1)
-    else:
+    elif mode in ("no_attn", "slices_only", "slices_w128", "concat_only"):
         amax2 = jnp.max(jnp.abs(yo), axis=1, keepdims=True)
         s2 = amax2 / 127.0 + 1e-12
         c2 = jnp.clip(jnp.round(yo / s2), -127, 127).astype(jnp.int8)
+    else:
+        # production per-head requant (_quant_heads)
+        amax2 = jnp.max(jnp.abs(outs[0]), axis=1, keepdims=True)
+        for o in outs[1:]:
+            amax2 = jnp.maximum(amax2, jnp.max(jnp.abs(o), axis=1, keepdims=True))
+        s2 = amax2 / 127.0 + 1e-12
+        c2 = jnp.concatenate(
+            [jnp.clip(jnp.round(o / s2), -127, 127).astype(jnp.int8)
+             for o in outs], axis=1)
     acc2 = jax.lax.dot_general(c2, ow[:], (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.int32)
     t = (acc2.astype(jnp.float32) * s2 * ows[0, :]).astype(cdt)
@@ -279,7 +299,7 @@ def _half(x, lw, lb, qw, qws, qb, ow, ows, ob, *, mode, cdt=jnp.bfloat16):
 
 
 def make_op(mode):
-    bb = _flat_block_b(BATCH, S, H3)
+    bb = int(os.environ.get("ABL_BB", "0")) or _flat_block_b(BATCH, S, H3)
     rt = bb * S
 
     def kernel(x_ref, lw, lb, qw, qws, qb, ow, ows, ob, o_ref):
@@ -343,8 +363,9 @@ def slope(op, args, name):
 
 def main():
     enable_compile_cache()
-    print(f"backend={jax.default_backend()} B={BATCH} rt="
-          f"{_flat_block_b(BATCH, S, H3) * S}", flush=True)
+    bb = int(os.environ.get("ABL_BB", "0")) or _flat_block_b(BATCH, S, H3)
+    print(f"backend={jax.default_backend()} B={BATCH} S={S} bb={bb} "
+          f"rt={bb * S}", flush=True)
     rng = np.random.default_rng(0)
     x0 = jax.device_put(jnp.asarray(
         rng.normal(0, 1, (BATCH, S, H)), jnp.bfloat16))
